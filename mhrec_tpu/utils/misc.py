@@ -1,0 +1,79 @@
+"""Misc utilities: seeding, early stopping, model registry.
+
+Behavior parity with reference ``REC/utils/utils.py``:
+* ``early_stopping`` (utils.py:60-102) — best-score tracking with patience.
+* ``calculate_valid_score`` (utils.py:104-125) — keyed by
+  ``pred_{eval_pred_len-1}`` result dict.
+* ``init_seed`` (utils.py:140-158) — numpy/python seeding; JAX PRNG keys are
+  threaded explicitly so there is no global framework RNG to seed.
+* ``get_model`` (utils.py:38-57) — resolve model class by name.
+"""
+
+from __future__ import annotations
+
+import importlib
+import random
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def init_seed(seed: int, reproducibility: bool = True) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def get_model(model_name: str):
+    """Resolve a model class by name from models.idnet then models.hllm."""
+    for pkg in ("mhrec_tpu.models.idnet", "mhrec_tpu.models.hllm"):
+        try:
+            module = importlib.import_module(f"{pkg}.{model_name.lower()}")
+        except ImportError:
+            continue
+        if hasattr(module, model_name):
+            return getattr(module, model_name)
+    raise ValueError(f"Model {model_name!r} not found in mhrec_tpu.models")
+
+
+def early_stopping(
+    value: float,
+    best: Optional[float],
+    cur_step: int,
+    max_step: int,
+    bigger: bool = True,
+) -> Tuple[float, int, bool, bool]:
+    """Returns (best, cur_step, stop_flag, update_flag)."""
+    stop_flag = False
+    update_flag = False
+    if best is None:
+        return value, 0, False, True
+    improved = value > best if bigger else value < best
+    if improved:
+        return value, 0, False, True
+    cur_step += 1
+    if cur_step > max_step:
+        stop_flag = True
+    return best, cur_step, stop_flag, update_flag
+
+
+def calculate_valid_score(
+    valid_result: Dict[str, Any],
+    valid_metric: Optional[str] = None,
+    eval_pred_len: int = 1,
+) -> float:
+    """Pick the model-selection scalar out of a nested eval-result dict.
+
+    ``valid_result`` maps ``pred_{i}`` / ``shared`` to metric dicts; the
+    selection metric lives under ``pred_{eval_pred_len-1}``.
+    """
+    key = f"pred_{eval_pred_len - 1}"
+    if key in valid_result:
+        inner = valid_result[key]
+    else:
+        inner = valid_result
+    if valid_metric and valid_metric in inner:
+        return float(inner[valid_metric])
+    lowered = {k.lower(): v for k, v in inner.items()}
+    if valid_metric and valid_metric.lower() in lowered:
+        return float(lowered[valid_metric.lower()])
+    raise KeyError(f"valid_metric {valid_metric!r} not in result keys {list(inner)[:8]}")
