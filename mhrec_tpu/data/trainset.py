@@ -1,0 +1,197 @@
+"""Training batcher for ID sequence models.
+
+One sample is a window of ``MAX_ITEM_LIST_LENGTH + pred_len`` item ids ending
+at a precomputed ``(uid, context_end)`` location: left-padded context,
+right-padded prediction slots, with padding drawn as random negatives when
+``pad_random_sample`` (reference ``trainset.py:111-177``). Negatives are
+``num_negatives / (world_size * batch_size)`` per sample (trainset.py:60),
+optionally drawn per category.
+
+The reference materializes samples one-by-one in 8 DataLoader workers; here a
+whole batch is one vectorized gather against the flat interaction array plus
+one vectorized negative-sampling call, which removes the Python hot loop and
+feeds the TPU from a single host thread (with an optional double-buffer).
+
+Batch dict (all numpy, static shapes):
+  items            [B, L+P] int32
+  neg_items        [B, num_cats+1 or 1, K] int32
+  masked_index     [B, L+P] int32   (1 = real token)
+  tag_categories   [B, L+P, C] int8 (only when loss == 'prior')
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from mhrec_tpu.data.samplers import make_negative_sampler
+
+
+class SEQTrainBatcher:
+    def __init__(self, config, dataload, world_size: int = 1, host_id: int = 0, num_hosts: int = 1):
+        self.dataload = dataload
+        self.config = config
+        self.item_num = dataload.item_num
+        self.max_seq_length = config["MAX_ITEM_LIST_LENGTH"]
+        self.pred_len = config["pred_len"]
+        self.window_len = self.max_seq_length + self.pred_len
+        self.batch_size = config["train_batch_size"]
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+
+        self.return_tag_mask = config["loss"] == "prior"
+        self.category_by = config["category_by"]
+        self.eval_num_cats = config["eval_num_cats"]
+        self.neg_sample_by_cat = (
+            self.return_tag_mask
+            and bool(config["neg_sample_by_cat"])
+            and self.category_by == "item"
+        )
+        self.random_sample = bool(config["pad_random_sample"])
+
+        num_neg = config["num_negatives"]
+        if num_neg:
+            self.num_negatives = math.ceil(num_neg / world_size / self.batch_size)
+        else:
+            self.num_negatives = self.max_seq_length
+
+        self.sampler = make_negative_sampler(config, dataload)
+        self.locations = dataload.valid_sample_locations
+        self.length = len(self.locations)
+        self.seed = int(config["seed"] or 0)
+
+        if self.category_by == "user" and self.return_tag_mask:
+            n_clusters = max(dataload.category_to_int.values()) + 1
+            self.one_hot_user_cluster = np.eye(n_clusters, dtype=np.int8)[
+                dataload.user_cluster_list
+            ]
+
+    def __len__(self):
+        return self.length
+
+    @property
+    def steps_per_epoch(self) -> int:
+        per_host = self.length // self.num_hosts
+        return max(per_host // self.batch_size, 1)
+
+    # ------------------------------------------------------------------
+    def make_batch(self, rng: np.random.Generator, loc_idx: np.ndarray) -> Dict[str, np.ndarray]:
+        d = self.dataload
+        L, P, W = self.max_seq_length, self.pred_len, self.window_len
+        uid = self.locations[loc_idx, 0]
+        context_end = self.locations[loc_idx, 1]
+        B = len(uid)
+
+        context_start = np.maximum(0, context_end - L)
+        context_pad = L - (context_end - context_start)
+        pred_take = np.minimum(d.train_seq_len[uid] - context_end, P)
+        pred_pad = P - pred_take
+
+        col = np.arange(W)[None, :]
+        src_pos = context_start[:, None] + (col - context_pad[:, None])
+        valid = (col >= context_pad[:, None]) & (col < W - pred_pad[:, None])
+        flat_idx = d.seq_offsets[uid][:, None] + np.clip(src_pos, 0, None)
+        flat_idx = np.minimum(flat_idx, len(d.flat_items) - 1)
+        items = np.where(valid, d.flat_items[flat_idx], 0)
+
+        if self.random_sample:
+            # pad slots drawn as random negatives excluding the real window
+            # items (reference trainset.py:111-122)
+            n_pad = W  # upper bound per row
+            pad_draws = self.sampler.sample(rng, np.where(valid, items, 0), n_pad)
+            pad_fill = np.empty_like(items)
+            pad_fill[:, :] = pad_draws[:, :W]
+            items = np.where(valid, items, pad_fill)
+
+        masked_index = valid.astype(np.int32)
+
+        # negatives exclude everything in the (already padded) window row,
+        # matching reference reconstruct_train_data (trainset.py:124-137)
+        K = self.num_negatives
+        if self.neg_sample_by_cat:
+            negs = [
+                self.sampler.sample(rng, items, K, cat_idx=c)
+                for c in range(self.eval_num_cats)
+            ]
+            negs.append(self.sampler.sample(rng, items, K))
+            neg_items = np.stack(negs, axis=1)
+        else:
+            neg_items = self.sampler.sample(rng, items, K)[:, None, :]
+
+        batch = {
+            "items": items.astype(np.int32),
+            "neg_items": neg_items.astype(np.int32),
+            "masked_index": masked_index,
+        }
+
+        if self.return_tag_mask:
+            if self.category_by == "item":
+                batch["tag_categories"] = d.item_tag_matrix[items].astype(np.int8)
+            elif self.category_by == "user":
+                batch["tag_categories"] = np.broadcast_to(
+                    self.one_hot_user_cluster[uid][:, None, :], (B, W, self.eval_num_cats)
+                ).astype(np.int8)
+            else:  # event
+                ev = np.where(valid, d.flat_events[flat_idx], -1)
+                onehot = np.zeros((B, W, self.eval_num_cats), dtype=np.int8)
+                rows, cols = np.nonzero(ev >= 0)
+                onehot[rows, cols, ev[rows, cols]] = 1
+                batch["tag_categories"] = onehot
+        else:
+            batch["tag_categories"] = np.zeros((B, 0, 0), dtype=np.int8)
+        return batch
+
+    # ------------------------------------------------------------------
+    def epoch_batches(self, epoch: int, drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Shuffled, host-sharded batches for one epoch (DistributedSampler
+        semantics: same global permutation on every host, rank-strided)."""
+        rng = np.random.default_rng(self.seed + epoch)
+        perm = rng.permutation(self.length)
+        shard = perm[self.host_id :: self.num_hosts]
+        n_batches = len(shard) // self.batch_size
+        sample_rng = np.random.default_rng(
+            (self.seed + epoch) * 1_000_003 + self.host_id
+        )
+        for b in range(n_batches):
+            idx = shard[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self.make_batch(sample_rng, idx)
+
+    def infinite_batches(self, prefetch: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless batch stream with background-thread prefetch."""
+        def gen():
+            epoch = 0
+            while True:
+                yield from self.epoch_batches(epoch)
+                epoch += 1
+
+        return _prefetch_iterator(gen(), prefetch)
+
+
+def _prefetch_iterator(it: Iterator, depth: int) -> Iterator:
+    if depth <= 0:
+        return it
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+
+    def drain():
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
+    return drain()
