@@ -1,0 +1,679 @@
+"""HSTU — Hierarchical Sequential Transduction Unit, TPU-native.
+
+Implements the model of "Actions Speak Louder than Words" (arXiv:2402.17152)
+as extended by "Don't Waste It: Guiding Generative Recommenders with
+Structured Human Priors via Multi-head Decoding" (arXiv:2511.10492), with
+behavior parity to the reference ``code/REC/model/IDNet/hstu.py``:
+
+* STU block (hstu.py:163-290): LayerNorm → fused ``uvqk`` projection (one
+  matmul split four ways) → pointwise attention ``silu(q·kᵀ)/n`` with a
+  causal non-pad mask (NO softmax) → ``u * LayerNorm(attn)`` gating → output
+  projection + residual;
+* learned absolute position embedding added at input (hstu.py:380,640-643);
+* multi-head "medusa" decoding (hstu.py:439-571): ``num_segment_head ×
+  num_prior_head`` ResBlock head stacks in multiplicative / additive /
+  hierarchical interaction, plus prior-switch aux classifiers;
+* multi-horizon NCE / prior losses (hstu.py:631-872) — see
+  ``mhrec_tpu.models.losses`` for the fixed-shape reformulation;
+* full-corpus cosine predict with per-head category masks, oracle priors
+  (``prior_given_at_test``) and predicted-switch masks (hstu.py:874-1016).
+
+The trunk runs in bfloat16 over fp32 parameters; losses and the retrieval
+scores are fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhrec_tpu.models.layers import (
+    ResBlock,
+    asymmetric_loss,
+    cosine_normalize,
+    trunc_normal_init,
+    weighted_bce_with_logits,
+)
+from mhrec_tpu.models.losses import multi_horizon_nce
+from mhrec_tpu.ops import hstu_attention
+from mhrec_tpu.utils.enums import InputType
+
+_NEG_INF = float("-inf")  # predict-time masks use -inf (reference hstu.py:987-1015)
+
+
+class STULayer(nn.Module):
+    """One Sequential Transduction Unit (reference hstu.py:163-290)."""
+
+    embedding_dim: int
+    linear_dim: int       # per-head value dim
+    attention_dim: int    # per-head qk dim
+    num_heads: int
+    dropout_ratio: float
+    linear_activation: str = "silu"
+    attn_impl: str = "auto"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        B, L, D = x.shape
+        h, dqk, dv = self.num_heads, self.attention_dim, self.linear_dim
+        normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="input_norm")(x)
+        uvqk_dim = dv * h * 2 + dqk * h * 2
+        w = self.param(
+            "uvqk", nn.initializers.normal(stddev=0.02), (D, uvqk_dim), jnp.float32
+        )
+        mixed = jnp.dot(normed, w.astype(self.dtype))
+        if self.linear_activation == "silu":
+            mixed = nn.silu(mixed)
+        u, v, q, k = jnp.split(mixed, [dv * h, 2 * dv * h, 2 * dv * h + dqk * h], axis=-1)
+        q = q.reshape(B, L, h, dqk)
+        k = k.reshape(B, L, h, dqk)
+        v = v.reshape(B, L, h, dv)
+        attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl)
+        attn = attn.reshape(B, L, h * dv)
+        gated = u * nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="attn_norm")(attn)
+        gated = nn.Dropout(self.dropout_ratio)(gated, deterministic=deterministic)
+        out = nn.Dense(
+            D,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype,
+            name="o_proj",
+        )(gated)
+        return x + out
+
+
+class MedusaHead(nn.Module):
+    """Stack of ResBlocks; identity when num_layers == 0."""
+
+    hidden_size: int
+    num_layers: int
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = ResBlock(self.hidden_size, use_norm=self.use_norm, name=f"res_{i}")(x)
+        return x
+
+
+class HSTU(nn.Module):
+    """Full multi-head prior-aware HSTU model."""
+
+    item_num: int
+    item_embedding_size: int
+    hstu_embedding_size: int
+    max_seq_length: int
+    pred_len: int
+    n_layers: int
+    n_heads: int
+    hidden_act: str = "silu"
+    hidden_dropout_prob: float = 0.0
+    loss_type: str = "nce"           # 'nce' | 'prior'
+    nce_thres: float = 0.99
+    fix_temp: bool = False
+    medusa_lambda: float = 0.99
+    medusa_num_layers: int = 0
+    num_segment_head: int = 1
+    num_prior_head: int = 1
+    head_interaction: str = "multiplicative"
+    neg_sample_by_cat: bool = False
+    pos_sample_mix_ratio: float = 0.0
+    prior_loss_weight: Tuple[float, ...] = (1.0,)
+    prior_switch: Optional[str] = None
+    prior_switch_loss_weight: float = 0.0
+    use_asym_switch_loss: bool = False
+    gamma_pos: float = 4.0
+    gamma_neg: float = 0.0
+    switch_last_only: bool = False
+    master_switch: bool = False
+    detach_aux_in: bool = False
+    eval_pred_len: int = 1
+    prior_given_at_test: bool = False
+    given_prior_len: int = 1
+    use_prior_switch_test: bool = False
+    int_to_category: Tuple[str, ...] = ()
+    # hierarchical head options
+    head_norm: bool = False
+    cat_bottleneck: bool = False
+    cat_bottleneck_dim: int = 0
+    share_seg_weights: bool = False
+    use_seg_embed: bool = False
+    attn_impl: str = "auto"
+    dtype: Any = jnp.bfloat16
+
+    input_type = InputType.SEQ
+
+    # ------------------------------------------------------------------
+    @property
+    def medusa_num_heads(self) -> int:
+        if self.head_interaction in ("multiplicative", "hierarchical"):
+            return self.num_segment_head * self.num_prior_head
+        if self.head_interaction == "additive":
+            return self.num_segment_head + self.num_prior_head
+        raise ValueError(f"Unknown head_interaction: {self.head_interaction}")
+
+    @property
+    def seg_len(self) -> int:
+        if self.medusa_num_layers > 0:
+            assert self.pred_len % self.num_segment_head == 0
+            return self.pred_len // self.num_segment_head
+        return self.pred_len
+
+    def horizon_discount(self) -> jnp.ndarray:
+        d = jnp.asarray(
+            [self.medusa_lambda ** p for p in range(self.pred_len)], jnp.float32
+        )
+        return d / d.sum()
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        D = self.hstu_embedding_size
+        self.item_embedding = nn.Embed(
+            self.item_num, self.item_embedding_size,
+            embedding_init=trunc_normal_init, name="item_embedding",
+        )
+        if self.item_embedding_size != D:
+            self.item_id_proj_tower = nn.Dense(
+                D, use_bias=False, kernel_init=trunc_normal_init, name="item_proj"
+            )
+        else:
+            self.item_id_proj_tower = None
+        self.position_embedding = nn.Embed(
+            self.max_seq_length + 1, D, embedding_init=trunc_normal_init,
+            name="position_embedding",
+        )
+        self.stu_layers = [
+            STULayer(
+                embedding_dim=D,
+                linear_dim=D // self.n_heads,
+                attention_dim=D // self.n_heads,
+                num_heads=self.n_heads,
+                dropout_ratio=self.hidden_dropout_prob,
+                linear_activation=self.hidden_act or "silu",
+                attn_impl=self.attn_impl,
+                dtype=self.dtype,
+                name=f"stu_{i}",
+            )
+            for i in range(self.n_layers)
+        ]
+        if not self.fix_temp:
+            self.logit_scale = self.param(
+                "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.05), jnp.float32)
+            )
+        else:
+            self.logit_scale_fixed = jnp.asarray(np.log(1 / 0.05), jnp.float32)
+
+        H = self.medusa_num_heads
+        if self.head_interaction == "hierarchical" and self.medusa_num_layers > 0:
+            if self.use_seg_embed:
+                self.segment_emb = nn.Embed(
+                    self.num_segment_head, D, embedding_init=trunc_normal_init,
+                    name="segment_emb",
+                )
+            cat_heads = []
+            for c in range(self.num_prior_head):
+                blocks: List[nn.Module] = []
+                if self.cat_bottleneck:
+                    bdim = self.cat_bottleneck_dim or D // 2
+                    blocks.append(_CatBottleneck(D, bdim, name=f"cat_bneck_{c}"))
+                blocks.append(
+                    MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                               name=f"cat_head_{c}")
+                )
+                cat_heads.append(blocks)
+            self.medusa_cat_head = cat_heads
+            if self.share_seg_weights:
+                shared = [
+                    MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                               name=f"seg_head_shared_{c}")
+                    for c in range(self.num_prior_head)
+                ]
+                self.medusa_seg_head = [
+                    [shared[c] for _ in range(self.num_segment_head)]
+                    for c in range(self.num_prior_head)
+                ]
+            else:
+                self.medusa_seg_head = [
+                    [
+                        MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                                   name=f"seg_head_{c}_{s}")
+                        for s in range(self.num_segment_head)
+                    ]
+                    for c in range(self.num_prior_head)
+                ]
+        else:
+            self.medusa_head = [
+                MedusaHead(D, self.medusa_num_layers, name=f"medusa_head_{h}")
+                for h in range(H)
+            ]
+
+        if self.loss_type == "prior" and self.prior_switch is not None:
+            in_dim = D if self.prior_switch == "in" else 2 * D
+            self.aux_cat_head = [
+                nn.Dense(1, kernel_init=trunc_normal_init, bias_init=trunc_normal_init,
+                         name=f"aux_cat_head_{c}")
+                for c in range(self.num_prior_head)
+            ]
+
+    # ------------------------------------------------------------------
+    def _logit_scale(self):
+        return self.logit_scale_fixed if self.fix_temp else self.logit_scale
+
+    def _embed_items(self, items):
+        emb = self.item_embedding(items)
+        if self.item_id_proj_tower is not None:
+            emb = self.item_id_proj_tower(emb)
+        return emb
+
+    def encode(self, items_ctx, deterministic: bool = True):
+        """Trunk forward over the context window.
+
+        items_ctx: [B, L] int. Returns output_embs [B, L, D] (model dtype).
+        """
+        B, L = items_ctx.shape
+        emb = self._embed_items(items_ctx)
+        pos = self.position_embedding(jnp.arange(L)[None, :])
+        x = (emb + pos).astype(self.dtype)
+        non_pad = items_ctx != 0
+        causal = jnp.tril(jnp.ones((L, L), dtype=bool))
+        # reference get_attention_mask (hstu.py:1023-1030): tril of the
+        # broadcast non-pad KEY mask
+        mask = (non_pad[:, None, None, :] & causal[None, None, :, :])
+        for layer in self.stu_layers:
+            x = layer(x, mask, deterministic=deterministic)
+        return x
+
+    def compute_heads(self, output_embs):
+        """Apply medusa heads. [..., D] → [batch-dims, H, ..., D]."""
+        if self.head_interaction == "hierarchical" and self.medusa_num_layers > 0:
+            outs = []
+            cat_embs = []
+            for c in range(self.num_prior_head):
+                h = output_embs
+                for block in self.medusa_cat_head[c]:
+                    h = block(h)
+                cat_embs.append(h)
+            for s in range(self.num_segment_head):
+                seg_bias = (
+                    self.segment_emb(jnp.asarray(s)) if self.use_seg_embed else None
+                )
+                for c in range(self.num_prior_head):
+                    seg_in = cat_embs[c]
+                    if seg_bias is not None:
+                        seg_in = seg_in + seg_bias
+                    outs.append(self.medusa_seg_head[c][s](seg_in))
+            return jnp.stack(outs, axis=1)
+        return jnp.stack([h(output_embs) for h in self.medusa_head], axis=1)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = False):
+        """Training forward → dict with 'loss' and logging scalars.
+
+        batch: items [B, L+P], neg_items [B, NC, K], masked_index [B, L+P],
+        tag_categories [B, L+P, C] (prior loss only).
+        """
+        items = batch["items"]
+        neg_items = batch["neg_items"]
+        user_mask = batch["masked_index"].astype(bool)
+        L, P = self.max_seq_length, self.pred_len
+        B = items.shape[0]
+
+        pos_items_embs = self._embed_items(items)          # [B, L+P, D]
+        input_emb = pos_items_embs[:, :L]
+        ctx_items = jnp.where(user_mask[:, :L], items[:, :L], 0)
+        output_embs = self.encode(ctx_items, deterministic=deterministic)
+        head_embs = self.compute_heads(output_embs)        # [B, H, L, D]
+
+        # base validity: context position valid AND target position valid
+        # (reference windows_mask & base_mask, hstu.py:682-685)
+        base_mask = jnp.stack(
+            [user_mask[:, :L] & user_mask[:, p + 1 : p + 1 + L] for p in range(P)],
+            axis=1,
+        )  # [B, P, L]
+
+        lam = self.horizon_discount()
+        model_out: Dict[str, jnp.ndarray] = {}
+        total = jnp.asarray(0.0, jnp.float32)
+        seg_accum = jnp.zeros(P, jnp.float32)
+
+        def _neg_norm(col):
+            neg_emb = self._embed_items(neg_items[:, col]).astype(jnp.float32)
+            neg_emb = cosine_normalize(neg_emb)
+            return neg_emb.reshape(-1, neg_emb.shape[-1])
+
+        run_nce = self.loss_type == "nce" or (
+            self.loss_type == "prior" and self.head_interaction == "additive"
+        )
+        run_prior = self.loss_type == "prior"
+
+        if run_nce:
+            head_for_pred = np.arange(P) // self.seg_len
+            loss_nce, per_pred, logs = multi_horizon_nce(
+                head_embs=head_embs,
+                target_embs=pos_items_embs,
+                neg_embs_norm=_neg_norm(-1),
+                base_mask=base_mask,
+                head_for_pred=head_for_pred,
+                horizon_discount=lam,
+                logit_scale=self._logit_scale(),
+                nce_thres=self.nce_thres,
+                compute_topk_log=True,
+            )
+            total = total + loss_nce
+            seg_accum = seg_accum + per_pred
+            model_out.update(logs)
+            if self.loss_type == "nce":
+                seg = per_pred.reshape(self.num_segment_head, self.seg_len).sum(axis=1)
+                for s in range(self.num_segment_head):
+                    model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
+
+        if run_prior:
+            tag_categories = batch["tag_categories"].astype(bool)  # [B, L+P, C]
+            seg_len = self.pred_len if self.head_interaction == "additive" else self.seg_len
+            segment_for_pred = np.arange(P) // seg_len
+            per_pred_accum = jnp.zeros(P, jnp.float32)
+            global_neg = (
+                _neg_norm(-1)
+                if (not self.neg_sample_by_cat or self.head_interaction == "additive")
+                else None
+            )
+
+            for c in range(self.num_prior_head):
+                cat_name = (
+                    self.int_to_category[c] if c < len(self.int_to_category) else str(c)
+                )
+                neg_norm = _neg_norm(c) if self.neg_sample_by_cat else global_neg
+
+                # prior-switch aux loss
+                if self.prior_switch is not None and not (self.master_switch and c > 0):
+                    total, model_out = self._switch_loss(
+                        total, model_out, output_embs, head_embs, tag_categories,
+                        user_mask, c, cat_name,
+                    )
+
+                prior_full = tag_categories[:, :, c]  # [B, L+P]
+                prior_win = jnp.stack(
+                    [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=1
+                )
+                if self.pos_sample_mix_ratio > 0.0:
+                    mix = (
+                        jax.random.uniform(self.make_rng("mix"), prior_win.shape)
+                        < self.pos_sample_mix_ratio
+                    )
+                    prior_win = prior_win | mix
+
+                if self.head_interaction == "additive":
+                    head_for_pred = np.full(P, self.num_segment_head + c)
+                else:
+                    head_for_pred = segment_for_pred * self.num_prior_head + c
+
+                loss_c, per_pred, logs = multi_horizon_nce(
+                    head_embs=head_embs,
+                    target_embs=pos_items_embs,
+                    neg_embs_norm=neg_norm,
+                    base_mask=base_mask,
+                    head_for_pred=head_for_pred,
+                    horizon_discount=lam,
+                    logit_scale=self._logit_scale(),
+                    nce_thres=self.nce_thres,
+                    loss_weight=float(self.prior_loss_weight[c]),
+                    extra_mask=prior_win,
+                    compute_topk_log=(c == 0),
+                )
+                total = total + loss_c
+                per_pred_accum = per_pred_accum + per_pred
+                model_out[f"head_nce_{cat_name}_loss"] = jax.lax.stop_gradient(loss_c)
+                if c == 0:
+                    model_out.update(logs)
+
+            if self.head_interaction != "additive":
+                seg = per_pred_accum.reshape(self.num_segment_head, self.seg_len).sum(axis=1)
+                for s in range(self.num_segment_head):
+                    model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
+            else:
+                total = total / 2.0
+
+        model_out["loss"] = total
+        return model_out
+
+    # ------------------------------------------------------------------
+    def _switch_loss(
+        self, total, model_out, output_embs, head_embs, tag_categories, user_mask,
+        c: int, cat_name: str,
+    ):
+        """Prior-switch aux classifier loss (reference hstu.py:757-805)."""
+        L, P = self.max_seq_length, self.pred_len
+        prior_full = tag_categories[:, :, c]
+        # target: any category hit in the next-P window of each position
+        tgt = jnp.stack(
+            [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=-1
+        ).any(axis=-1).astype(jnp.float32)  # [B, L]
+        if self.switch_last_only:
+            tgt = tgt[:, -1:]
+
+        if self.prior_switch == "in":
+            aux_in = output_embs
+            if self.switch_last_only:
+                aux_in = aux_in[:, -1:]
+            if self.detach_aux_in:
+                aux_in = jax.lax.stop_gradient(aux_in)
+        elif self.prior_switch == "in_out":
+            if self.head_interaction == "additive":
+                head_slice = head_embs[:, self.num_segment_head + c]
+            else:
+                head_slice = head_embs[:, c]
+            aux_in = jnp.concatenate([output_embs, head_slice], axis=-1)
+            if self.switch_last_only:
+                aux_in = aux_in[:, -1:]
+            if self.detach_aux_in:
+                aux_in = jax.lax.stop_gradient(aux_in)
+        else:
+            raise ValueError(f"prior_switch={self.prior_switch} not recognized")
+
+        logits = self.aux_cat_head[c](aux_in.astype(jnp.float32)).squeeze(-1)
+        if self.use_asym_switch_loss:
+            loss = asymmetric_loss(
+                logits[..., None], tgt[..., None],
+                gamma_pos=self.gamma_pos, gamma_neg=self.gamma_neg,
+            )
+        else:
+            p = float(np.clip(self.prior_loss_weight[c], 1e-6, 1 - 1e-6))
+            pos_w = jnp.asarray((1.0 - p) / p, jnp.float32)
+            loss = weighted_bce_with_logits(logits, tgt, pos_w)
+        acc = jnp.mean(((logits >= 0) == (tgt > 0.5)).astype(jnp.float32))
+        model_out[f"head_cat_{cat_name}_acc"] = jax.lax.stop_gradient(acc)
+        total = total + self.prior_switch_loss_weight * loss
+        model_out[f"head_cat_{cat_name}_loss"] = jax.lax.stop_gradient(
+            self.prior_switch_loss_weight * loss
+        )
+        return total, model_out
+
+    # ------------------------------------------------------------------
+    def predict_embeddings(self, item_seq, target_tags=None):
+        """Eval-time user/head embeddings (reference hstu.py:874-971).
+
+        Returns dict with:
+          head_embs  [B, H, D] L2-normalized fp32
+          user_emb   [B, D]    normalized last-token trunk output
+          switch_pred [B, num_prior_head] bool (if prior_switch configured)
+          switch_correct — per-head correct-count scalars for logging
+        """
+        out: Dict[str, jnp.ndarray] = {}
+        output_embs = self.encode(item_seq, deterministic=True)
+        last = output_embs[:, -1].astype(jnp.float32)       # [B, D]
+        heads = self.compute_heads(last)                    # [B, H, D]
+        heads = cosine_normalize(heads.astype(jnp.float32))
+        out["head_embs"] = heads
+        out["user_emb"] = cosine_normalize(last)
+
+        if self.loss_type == "prior" and self.prior_switch is not None:
+            switch_range = 1 if self.master_switch else self.num_prior_head
+            preds = []
+            for c in range(switch_range):
+                if self.prior_switch == "in":
+                    logits = self.aux_cat_head[c](last)
+                else:
+                    if self.head_interaction == "additive":
+                        aux = jnp.concatenate(
+                            [last, heads[:, self.num_segment_head + c]], axis=-1
+                        )
+                    else:
+                        aux = jnp.concatenate([last, heads[:, c]], axis=-1)
+                    logits = self.aux_cat_head[c](aux)
+                preds.append((logits.squeeze(-1) >= 0))
+            switch_pred = jnp.stack(preds, axis=1)          # [B, switch_range]
+            out["switch_pred"] = switch_pred
+            if target_tags is not None:
+                labels = (target_tags.sum(axis=1) > 0)      # [B, C]
+                out["switch_correct"] = (
+                    (labels[:, :switch_range] == switch_pred).sum(axis=0).astype(jnp.float32)
+                )
+        return out
+
+    def score_items(
+        self,
+        head_embs: jnp.ndarray,            # [B, H, D] normalized
+        item_feats: jnp.ndarray,           # [I, D] normalized fp32
+        item_tags: Optional[jnp.ndarray],  # [I, C] bool
+        target_tags: Optional[jnp.ndarray],  # [B, P, C]
+        switch_pred: Optional[jnp.ndarray],  # [B, switch_range] bool
+    ) -> jnp.ndarray:
+        """Cosine scores + prior masks for a (chunk of the) item corpus.
+
+        Mask semantics per reference predict (hstu.py:982-1015); the same
+        function serves full-corpus and streamed-chunk scoring.
+        """
+        scores = jnp.einsum("bhd,id->bhi", head_embs, item_feats)
+        if self.loss_type != "prior":
+            return scores
+        S, C = self.num_segment_head, self.num_prior_head
+
+        if self.prior_given_at_test and target_tags is not None:
+            given = target_tags[:, : self.given_prior_len].astype(bool).any(axis=1)  # [B, C]
+            if self.head_interaction == "additive":
+                scores = scores.at[:, S:].set(
+                    jnp.where(given[:, :, None], scores[:, S:], _NEG_INF)
+                )
+            else:
+                rep = jnp.tile(given, (1, S))[:, :, None]   # [B, S*C, 1]
+                scores = jnp.where(rep, scores, _NEG_INF)
+
+        if item_tags is not None:
+            tags = item_tags.astype(bool)                    # [I, C]
+            if self.head_interaction == "additive":
+                m = tags.T[None, :, :]                       # [1, C, I]
+                scores = scores.at[:, S:].set(
+                    jnp.where(m, scores[:, S:], _NEG_INF)
+                )
+            else:
+                m = jnp.tile(tags.T, (S, 1))[None, :, :]     # [1, S*C, I]
+                scores = jnp.where(m, scores, _NEG_INF)
+
+        if self.prior_switch is not None and self.use_prior_switch_test and switch_pred is not None:
+            if self.master_switch:
+                on = jnp.concatenate(
+                    [~switch_pred[:, :1], jnp.tile(switch_pred[:, :1], (1, C - 1))],
+                    axis=1,
+                )  # [B, C]
+            else:
+                on = switch_pred                              # [B, C]
+            if self.head_interaction == "additive":
+                scores = scores.at[:, S:].set(
+                    jnp.where(on[:, :, None], scores[:, S:], _NEG_INF)
+                )
+            else:
+                rep = jnp.tile(on, (1, S))[:, :, None]
+                scores = jnp.where(rep, scores, _NEG_INF)
+        return scores
+
+    def compute_item_all(self):
+        """Normalized full item-embedding matrix (reference hstu.py:1018-1021)."""
+        w = self.item_embedding.embedding
+        if self.item_id_proj_tower is not None:
+            w = self.item_id_proj_tower(w)
+        return cosine_normalize(w.astype(jnp.float32))
+
+
+class _CatBottleneck(nn.Module):
+    """LayerNorm → down-proj → SiLU → up-proj (hierarchical cat head option,
+    reference hstu.py:453-464)."""
+
+    dim: int
+    bottleneck_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-5)(x)
+        h = nn.Dense(self.bottleneck_dim, kernel_init=trunc_normal_init,
+                     bias_init=trunc_normal_init)(h)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, kernel_init=trunc_normal_init,
+                        bias_init=trunc_normal_init)(h)
+
+
+# ----------------------------------------------------------------------
+def hstu_from_config(config, dataload) -> HSTU:
+    """Build an HSTU module from a Config + InteractionData (mirrors the
+    reference constructor wiring, hstu.py:343-572)."""
+    loss = config["loss"]
+    num_prior = config["num_prior_head"] or 1
+    if loss == "prior" and config["weighted_prior_loss"]:
+        all_counts = sum(dataload.category_counts.values())
+        weights = [0.0] * num_prior
+        for cat, cnt in dataload.category_counts.items():
+            weights[dataload.category_to_int[cat]] = cnt / all_counts
+    else:
+        weights = [1.0 / num_prior] * num_prior
+
+    neg_by_cat = bool(config["neg_sample_by_cat"]) and loss == "prior"
+    prior_switch = config["prior_switch"]
+    i2c = config["int_to_category"] or {}
+    int_to_category = tuple(i2c.get(i, str(i)) for i in range(num_prior))
+
+    eval_pred_len = config["eval_pred_len"]
+    prior_given = bool(config.get("prior_given_at_test", False))
+    return HSTU(
+        item_num=dataload.item_num,
+        item_embedding_size=config["item_embedding_size"],
+        hstu_embedding_size=config["hstu_embedding_size"],
+        max_seq_length=config["MAX_ITEM_LIST_LENGTH"],
+        pred_len=config["pred_len"],
+        n_layers=config["n_layers"],
+        n_heads=config["n_heads"],
+        hidden_act=config["hidden_act"] or "silu",
+        hidden_dropout_prob=config["hidden_dropout_prob"] or 0.0,
+        loss_type=loss,
+        nce_thres=config["nce_thres"] or 0.99,
+        fix_temp=bool(config["fix_temp"]),
+        medusa_lambda=config["medusa_lambda"],
+        medusa_num_layers=config["medusa_num_layers"] or 0,
+        num_segment_head=config["num_segment_head"] or 1,
+        num_prior_head=num_prior,
+        head_interaction=config["head_interaction"],
+        neg_sample_by_cat=neg_by_cat,
+        pos_sample_mix_ratio=config["pos_sample_mix_ratio"] or 0.0,
+        prior_loss_weight=tuple(weights),
+        prior_switch=prior_switch,
+        prior_switch_loss_weight=config["prior_switch_loss_weight"] or 0.0,
+        use_asym_switch_loss=config.get("asym_switch_loss", False),
+        gamma_pos=config.get("gamma_pos", 4.0),
+        gamma_neg=config.get("gamma_neg", 0.0),
+        switch_last_only=config.get("switch_last_only", False),
+        master_switch=config.get("master_switch", False),
+        detach_aux_in=config.get("detach_aux_in", False),
+        eval_pred_len=eval_pred_len,
+        prior_given_at_test=prior_given,
+        given_prior_len=config.get("given_prior_len", eval_pred_len) if prior_given else eval_pred_len,
+        use_prior_switch_test=config.get("use_prior_switch_test", False),
+        int_to_category=int_to_category,
+        head_norm=config.get("head_norm", False),
+        cat_bottleneck=config.get("cat_bottleneck", False),
+        cat_bottleneck_dim=config.get("cat_bottleneck_dim", 0) or 0,
+        share_seg_weights=config.get("share_seg_weights", False),
+        use_seg_embed=config.get("segment_embed", False),
+        attn_impl=config.get("attn_impl", "auto"),
+    )

@@ -1,0 +1,126 @@
+"""Shared model building blocks (flax.linen).
+
+Counterparts of the reference layer zoo (``REC/model/layers.py``,
+``llm_heads.py``): ResBlock medusa heads, asymmetric focal loss, MLP stacks,
+and init helpers matching the reference's truncated-normal(0.02) scheme
+(hstu.py:23-31, 574-588).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# reference reset_params applies truncated_normal(std=0.02) to everything
+# outside the HSTU trunk
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def l2_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), eps, None)
+
+
+def cosine_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Plain x / ||x|| as used by the NCE loss (hstu.py:605-606)."""
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class ResBlock(nn.Module):
+    """Linear + SiLU residual block (reference llm_heads.py:5-40)."""
+
+    hidden_size: int
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.use_norm:
+            x = nn.LayerNorm(epsilon=1e-5)(x)
+        h = nn.Dense(
+            self.hidden_size,
+            kernel_init=trunc_normal_init,
+            bias_init=trunc_normal_init,
+        )(x)
+        return x + nn.silu(h)
+
+
+class Rescale(nn.Module):
+    """Elementwise rescaling (reference llm_heads.py:44-70)."""
+
+    size: int
+    learnable: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.learnable:
+            w = self.param(
+                "mul_weight",
+                lambda key, shape: jnp.ones(shape) + 0.1 * jax.random.normal(key, shape),
+                (self.size,),
+            )
+        else:
+            w = self.variable(
+                "constants", "mul_weight",
+                lambda: jnp.ones((self.size,)) + 0.1 * jax.random.normal(
+                    self.make_rng("params"), (self.size,)
+                ),
+            ).value
+        return x * w
+
+
+class MLPLayers(nn.Module):
+    """Dense stack with optional dropout/activation (reference layers.py:117-172)."""
+
+    layers: Sequence[int]
+    dropout: float = 0.0
+    activation: Optional[Callable] = nn.relu
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i, width in enumerate(self.layers[1:]):
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = nn.Dense(width, kernel_init=trunc_normal_init)(x)
+            if self.activation is not None and i < len(self.layers) - 2:
+                x = self.activation(x)
+        return x
+
+
+def asymmetric_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    gamma_pos: float = 0.0,
+    gamma_neg: float = 4.0,
+    clip: float = 0.05,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Asymmetric focal BCE (reference layers.py:16-84), mean-reduced.
+
+    ``logits``/``targets``: [..., num_tasks]; loss summed over the last axis
+    then averaged.
+    """
+    x_sigmoid = jax.nn.sigmoid(logits)
+    xs_pos = x_sigmoid
+    xs_neg = 1.0 - x_sigmoid
+    if clip and clip > 0:
+        xs_neg = jnp.clip(xs_neg + clip, None, 1.0)
+    los_pos = targets * jnp.log(jnp.clip(xs_pos, eps, None))
+    los_neg = (1.0 - targets) * jnp.log(jnp.clip(xs_neg, eps, None))
+    loss = los_pos + los_neg
+    if gamma_neg > 0 or gamma_pos > 0:
+        pt = xs_pos * targets + xs_neg * (1.0 - targets)
+        gamma = gamma_pos * targets + gamma_neg * (1.0 - targets)
+        loss = loss * jnp.power(1.0 - pt, gamma)
+    return jnp.mean(-loss.sum(axis=-1))
+
+
+def weighted_bce_with_logits(
+    logits: jnp.ndarray, targets: jnp.ndarray, pos_weight: jnp.ndarray
+) -> jnp.ndarray:
+    """torch.binary_cross_entropy_with_logits(pos_weight=...) equivalent,
+    mean-reduced over every element (reference hstu.py:794-796)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    loss = -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
+    return jnp.mean(loss)

@@ -1,0 +1,52 @@
+"""HSTU pointwise attention: ``silu(q·kᵀ)/n * mask`` — no softmax.
+
+Reference math: ``_hstu_attention_maybe_from_cache``
+(code/REC/model/IDNet/hstu.py:137-160): per head, ``A = silu(q kᵀ) / n``
+elementwise-masked by the (causal & non-pad) boolean mask, then ``A @ v``.
+Because there is no softmax there is no running max/denominator — the Pallas
+kernel is a masked-silu matmul pipeline, simpler than flash attention.
+
+Two implementations:
+* ``hstu_attention_xla`` — einsum formulation; XLA fuses the silu+mask into
+  the matmul epilogue. Used on CPU (tests) and for small shapes.
+* ``hstu_attention_pallas`` — tiled Pallas TPU kernel (fwd + custom VJP) for
+  long sequences where the O(L²) intermediate would otherwise round-trip
+  through HBM.
+
+``hstu_attention`` dispatches on platform/shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def hstu_attention_xla(
+    q: jnp.ndarray,  # [B, L, H, Dqk]
+    k: jnp.ndarray,  # [B, L, H, Dqk]
+    v: jnp.ndarray,  # [B, L, H, Dv]
+    mask: jnp.ndarray,  # [B, 1, L, L] or [B, H, L, L] bool / {0,1}
+) -> jnp.ndarray:  # [B, L, H, Dv]
+    n = q.shape[1]
+    scores = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+    scores = jax.nn.silu(scores) * (1.0 / n)
+    scores = scores * mask.astype(scores.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", scores, v)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def hstu_attention(q, k, v, mask, impl: str = "auto"):
+    """Dispatching entry point. ``impl``: 'auto' | 'xla' | 'pallas'."""
+    if impl == "pallas":
+        from mhrec_tpu.ops.pallas.hstu_attention_tpu import hstu_attention_pallas
+
+        return hstu_attention_pallas(q, k, v, mask)
+    if impl == "auto":
+        # Pallas pays off once L is large enough that the [B,H,L,L] f32
+        # intermediate stops fitting the fusion footprint; dispatch there
+        # happens in the model once shapes are known. Default: XLA.
+        pass
+    return hstu_attention_xla(q, k, v, mask)
