@@ -94,6 +94,8 @@ class SeqEvalBatcher:
             # "fix_miscellaneous": items tagged with ALL categories are treated
             # as uncategorized for the outlier test (reference evalset.py:53-61)
             tags = d.item_tag_matrix
+            if tags is None:  # no category structure loaded (eval_num_cats == 1)
+                return False
             all_cats = tags.sum(axis=1) == tags.shape[1]
             eff = np.where(all_cats[:, None], False, tags)
             cover = eff[history].any(axis=0)

@@ -1,0 +1,69 @@
+"""Device mesh + sharding utilities.
+
+TPU-native replacement for the reference's NCCL/DeepSpeed distribution stack
+(run.py:191, trainer.py:434-453):
+
+* data parallelism = a 1-D ``Mesh(('data',))`` over all devices; the train
+  step is jit-compiled with the batch sharded over ``data`` and parameters
+  replicated — XLA inserts the gradient psum over ICI automatically;
+* ZeRO-equivalent optimizer-state sharding = ``NamedSharding`` placing each
+  optimizer-state leaf's largest divisible axis over ``data``
+  (DeepSpeed stage-2 analogue, reference trainer.py:439-442);
+* the differentiable cross-rank all-gather of negatives (basemodel.py:11-22)
+  needs no explicit collective here: the jit operates on the global batch, so
+  every token already sees the full negative pool and XLA materializes the
+  all-gather from the shardings.
+
+Multi-host: ``jax.distributed.initialize()`` is assumed to have run; all
+devices across hosts join the one mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place a host-global numpy batch onto the mesh, sharded on dim 0."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding if getattr(x, "ndim", 0) > 0 else replicate(mesh)),
+        batch,
+    )
+
+
+def zero_sharded_opt_state(mesh: Mesh, opt_state, axis_name: str = "data"):
+    """NamedShardings that shard each optimizer-state leaf over ``data``.
+
+    Leaves whose first divisible axis can't be split evenly stay replicated
+    (they are small: scalars, counts, norms).
+    """
+    n = mesh.devices.size
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        for dim, size in enumerate(shape):
+            if size % n == 0 and size >= n:
+                parts = [None] * len(shape)
+                parts[dim] = axis_name
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, opt_state)

@@ -1,0 +1,159 @@
+"""Loss math parity: the fixed-shape JAX multi-horizon NCE must match a
+direct numpy transcription of the reference formulas (hstu.py:600-713) that
+gathers valid tokens exactly like the torch code does."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhrec_tpu.models.losses import clamp_logit_scale, multi_horizon_nce
+
+
+def reference_nce_numpy(
+    head_embs, target_embs, neg_norm, mask, head_for_pred, lam, logit_scale,
+    nce_thres, extra_mask=None, loss_weight=1.0,
+):
+    """Direct reimplementation of the reference masked-gather loss."""
+    B, H, L, D = head_embs.shape
+    P = len(head_for_pred)
+    scale = np.exp(np.clip(logit_scale, 0, np.log(100)))
+    per_pred = []
+    for p in range(P):
+        h = head_for_pred[p]
+        losses = []
+        for b in range(B):
+            for l in range(L):
+                valid = mask[b, l] and mask[b, l + p + 1]
+                if extra_mask is not None:
+                    valid = valid and extra_mask[b, p, l]
+                if not valid:
+                    continue
+                out = head_embs[b, h, l]
+                out = out / np.linalg.norm(out)
+                tgt = target_embs[b, l + p + 1]
+                tgt = tgt / np.linalg.norm(tgt)
+                pos_logit = out @ tgt
+                neg_logits = out @ neg_norm.T
+                fix = tgt @ neg_norm.T
+                neg_logits = np.where(
+                    fix > nce_thres, np.finfo(np.float32).min, neg_logits
+                )
+                logits = np.concatenate([[pos_logit], neg_logits]) * scale
+                m = logits.max()
+                lse = m + np.log(np.exp(logits - m).sum())
+                losses.append(lse - logits[0])
+        mean_p = np.mean(losses) if losses else 0.0
+        per_pred.append(lam[p] * loss_weight * mean_p)
+    return np.sum(per_pred), np.asarray(per_pred)
+
+
+@pytest.mark.parametrize("seg_heads,P", [(1, 3), (3, 3)])
+def test_multi_horizon_nce_parity(seg_heads, P):
+    rng = np.random.default_rng(0)
+    B, L, D, M = 4, 6, 8, 32
+    H = seg_heads
+    head_embs = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    target_embs = rng.normal(size=(B, L + P, D)).astype(np.float32)
+    neg = rng.normal(size=(M, D)).astype(np.float32)
+    neg_norm = neg / np.linalg.norm(neg, axis=-1, keepdims=True)
+    mask = rng.random((B, L + P)) > 0.3
+    mask[:, 2:5] = True
+    lam = 0.9 ** np.arange(P)
+    lam = (lam / lam.sum()).astype(np.float32)
+    head_for_pred = np.arange(P) // max(P // seg_heads, 1)
+    head_for_pred = np.minimum(head_for_pred, H - 1)
+    logit_scale = np.float32(np.log(1 / 0.05))
+    thres = 0.8
+
+    base_mask = np.stack(
+        [mask[:, :L] & mask[:, p + 1 : p + 1 + L] for p in range(P)], axis=1
+    )
+    total, per_pred, _ = multi_horizon_nce(
+        head_embs=jnp.asarray(head_embs),
+        target_embs=jnp.asarray(target_embs),
+        neg_embs_norm=jnp.asarray(neg_norm),
+        base_mask=jnp.asarray(base_mask),
+        head_for_pred=head_for_pred,
+        horizon_discount=jnp.asarray(lam),
+        logit_scale=jnp.asarray(logit_scale),
+        nce_thres=thres,
+    )
+    ref_total, ref_per_pred = reference_nce_numpy(
+        head_embs, target_embs, neg_norm, mask, head_for_pred, lam,
+        logit_scale, thres,
+    )
+    np.testing.assert_allclose(np.asarray(per_pred), ref_per_pred, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(float(total), ref_total, rtol=2e-2)
+
+
+def test_multi_horizon_nce_extra_mask_and_weight():
+    rng = np.random.default_rng(1)
+    B, L, D, M, P = 3, 5, 8, 16, 2
+    head_embs = rng.normal(size=(B, 1, L, D)).astype(np.float32)
+    target_embs = rng.normal(size=(B, L + P, D)).astype(np.float32)
+    neg = rng.normal(size=(M, D)).astype(np.float32)
+    neg_norm = neg / np.linalg.norm(neg, axis=-1, keepdims=True)
+    mask = np.ones((B, L + P), bool)
+    extra = rng.random((B, P, L)) > 0.5
+    lam = np.asarray([0.6, 0.4], np.float32)
+    hfp = np.zeros(P, int)
+    ls = np.float32(1.0)
+
+    base_mask = np.stack(
+        [mask[:, :L] & mask[:, p + 1 : p + 1 + L] for p in range(P)], axis=1
+    )
+    total, per_pred, _ = multi_horizon_nce(
+        jnp.asarray(head_embs), jnp.asarray(target_embs), jnp.asarray(neg_norm),
+        jnp.asarray(base_mask), hfp, jnp.asarray(lam), jnp.asarray(ls),
+        0.9, loss_weight=0.25, extra_mask=jnp.asarray(extra),
+    )
+    ref_total, ref_per_pred = reference_nce_numpy(
+        head_embs, target_embs, neg_norm, mask, hfp, lam, ls, 0.9,
+        extra_mask=extra, loss_weight=0.25,
+    )
+    np.testing.assert_allclose(np.asarray(per_pred), ref_per_pred, rtol=2e-2, atol=2e-3)
+
+
+def test_empty_mask_contributes_zero():
+    B, L, D, M, P = 2, 4, 8, 8, 2
+    rng = np.random.default_rng(2)
+    head_embs = jnp.asarray(rng.normal(size=(B, 1, L, D)), jnp.float32)
+    target_embs = jnp.asarray(rng.normal(size=(B, L + P, D)), jnp.float32)
+    neg = rng.normal(size=(M, D)).astype(np.float32)
+    neg_norm = jnp.asarray(neg / np.linalg.norm(neg, axis=-1, keepdims=True))
+    base_mask = jnp.zeros((B, P, L), bool)
+    total, per_pred, _ = multi_horizon_nce(
+        head_embs, target_embs, neg_norm, base_mask, np.zeros(P, int),
+        jnp.asarray([0.5, 0.5], jnp.float32), jnp.asarray(1.0), 0.99,
+    )
+    assert float(total) == 0.0
+
+
+def test_clamp_logit_scale_straight_through():
+    v = jnp.asarray(10.0)  # above ln(100)
+    out = clamp_logit_scale(v)
+    np.testing.assert_allclose(float(out), 100.0, rtol=1e-5)
+    g = jax.grad(lambda x: clamp_logit_scale(x))(v)
+    assert float(g) > 0  # straight-through keeps gradient alive
+
+
+def test_gradients_flow_and_finite():
+    rng = np.random.default_rng(3)
+    B, L, D, M, P = 2, 4, 8, 8, 2
+    head = jnp.asarray(rng.normal(size=(B, 1, L, D)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, L + P, D)), jnp.float32)
+    neg = rng.normal(size=(M, D)).astype(np.float32)
+    negn = jnp.asarray(neg / np.linalg.norm(neg, axis=-1, keepdims=True))
+    mask = jnp.ones((B, P, L), bool)
+
+    def f(h):
+        t, _, _ = multi_horizon_nce(
+            h, tgt, negn, mask, np.zeros(P, int),
+            jnp.asarray([0.5, 0.5], jnp.float32), jnp.asarray(1.0), 0.99,
+        )
+        return t
+
+    g = jax.grad(f)(head)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -1,0 +1,177 @@
+"""HSTU model: attention math, forward shapes, head variants, predict masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhrec_tpu.data import build_dataloader
+from mhrec_tpu.models.idnet.hstu import hstu_from_config
+from mhrec_tpu.ops.hstu_attention import hstu_attention_xla
+from tests.conftest import make_config
+from mhrec_tpu.data import InteractionData
+
+
+def test_hstu_attention_matches_naive():
+    rng = np.random.default_rng(0)
+    B, L, H, Dq, Dv = 2, 7, 3, 4, 5
+    q = rng.normal(size=(B, L, H, Dq)).astype(np.float32)
+    k = rng.normal(size=(B, L, H, Dq)).astype(np.float32)
+    v = rng.normal(size=(B, L, H, Dv)).astype(np.float32)
+    nonpad = rng.random((B, L)) > 0.2
+    causal = np.tril(np.ones((L, L), bool))
+    mask = nonpad[:, None, None, :] & causal[None, None]
+    out = np.asarray(hstu_attention_xla(q, k, v, jnp.asarray(mask)))
+    # naive per-element
+    expected = np.zeros_like(v)
+    for b in range(B):
+        for h in range(H):
+            s = q[b, :, h] @ k[b, :, h].T
+            s = s / (1 + np.exp(-s)) / L  # silu(x) = x*sigmoid(x)
+            s = s * mask[b, 0]
+            expected[b, :, h] = s @ v[b, :, h]
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(synth_dir):
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        num_segment_head=2, medusa_num_layers=1, pred_len=4,
+        prior_switch="in", prior_switch_loss_weight=0.1,
+        use_prior_switch_test=True,
+    )
+    data = InteractionData(cfg).build()
+    model = hstu_from_config(cfg, data)
+    train, valid, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "mix": jax.random.PRNGKey(2),
+    }
+    params = model.init(rngs, batch, deterministic=False)
+    return cfg, data, model, params, batch, test
+
+
+def test_forward_outputs(tiny_setup):
+    cfg, data, model, params, batch, _ = tiny_setup
+    out = model.apply(
+        params, batch, deterministic=True,
+        rngs={"mix": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["loss"]) > 0
+    for c in range(4):
+        assert f"head_nce_cat_{c}_loss" in out
+    assert "seg_0_loss" in out and "seg_1_loss" in out
+
+
+def test_forward_deterministic_reproducible(tiny_setup):
+    cfg, data, model, params, batch, _ = tiny_setup
+    o1 = model.apply(params, batch, deterministic=True, rngs={"mix": jax.random.PRNGKey(7)})
+    o2 = model.apply(params, batch, deterministic=True, rngs={"mix": jax.random.PRNGKey(7)})
+    assert float(o1["loss"]) == float(o2["loss"])
+
+
+def test_causality(tiny_setup):
+    """Changing a later item must not affect earlier positions' outputs."""
+    cfg, data, model, params, batch, _ = tiny_setup
+    items = np.asarray(batch["items"]).copy()
+    mask = np.asarray(batch["masked_index"])
+    L = cfg["MAX_ITEM_LIST_LENGTH"]
+    ctx = np.where(mask[:, :L] == 1, items[:, :L], 0)
+    enc1 = np.asarray(model.apply(params, jnp.asarray(ctx), method="encode"), np.float32)
+    ctx2 = ctx.copy()
+    ctx2[:, -1] = np.where(ctx2[:, -1] > 0, (ctx2[:, -1] % (data.item_num - 1)) + 1, 0)
+    enc2 = np.asarray(model.apply(params, jnp.asarray(ctx2), method="encode"), np.float32)
+    np.testing.assert_allclose(enc1[:, : L - 1], enc2[:, : L - 1], rtol=1e-4, atol=1e-5)
+
+
+def test_predict_and_masks(tiny_setup):
+    cfg, data, model, params, batch, test = tiny_setup
+    eb = next(iter(test.batches()))
+    feats = model.apply(params, method="compute_item_all")
+    pe = model.apply(
+        params, jnp.asarray(eb["item_seq"]), jnp.asarray(eb["target_tags"]),
+        method="predict_embeddings",
+    )
+    assert pe["head_embs"].shape[1] == model.medusa_num_heads
+    norms = np.linalg.norm(np.asarray(pe["head_embs"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    scores = model.apply(
+        params, pe["head_embs"], feats, jnp.asarray(data.item_tag_matrix),
+        jnp.asarray(eb["target_tags"]), pe.get("switch_pred"),
+        method="score_items",
+    )
+    s = np.asarray(scores)
+    # category-item mask: head h (= s*C + c) can only score items of category c
+    C = cfg["num_prior_head"]
+    for h in range(model.medusa_num_heads):
+        c = h % C
+        off_cat = ~np.asarray(data.item_tag_matrix)[:, c]
+        assert np.isneginf(s[:, h, :][:, off_cat]).all()
+
+
+def test_nce_only_single_head(synth_dir):
+    cfg = make_config(synth_dir)  # loss=nce defaults
+    data = InteractionData(cfg).build()
+    model = hstu_from_config(cfg, data)
+    train, _, _ = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=False,
+    )
+    out = model.apply(params, batch, deterministic=True)
+    assert np.isfinite(float(out["loss"]))
+    assert "nce_top1_acc" in out
+
+
+def test_additive_interaction(synth_dir):
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        num_segment_head=2, medusa_num_layers=1, head_interaction="additive",
+        pred_len=4,
+    )
+    data = InteractionData(cfg).build()
+    model = hstu_from_config(cfg, data)
+    assert model.medusa_num_heads == 6
+    train, _, _ = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mix": jax.random.PRNGKey(2)},
+        batch, deterministic=False,
+    )
+    out = model.apply(params, batch, deterministic=True, rngs={"mix": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_hierarchical_interaction(synth_dir):
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        num_segment_head=2, medusa_num_layers=1, head_interaction="hierarchical",
+        pred_len=4, segment_embed=True, cat_bottleneck=True,
+    )
+    data = InteractionData(cfg).build()
+    model = hstu_from_config(cfg, data)
+    assert model.medusa_num_heads == 8
+    train, _, _ = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mix": jax.random.PRNGKey(2)},
+        batch, deterministic=False,
+    )
+    out = model.apply(params, batch, deterministic=True, rngs={"mix": jax.random.PRNGKey(3)})
+    assert np.isfinite(float(out["loss"]))
+    pe = model.apply(
+        params, batch["items"][:, : cfg["MAX_ITEM_LIST_LENGTH"]],
+        None, method="predict_embeddings",
+    )
+    assert pe["head_embs"].shape[1] == 8
