@@ -1,0 +1,90 @@
+"""End-to-end training: fit/eval smoke, checkpoint resume, loss decreases."""
+
+import numpy as np
+import pytest
+
+from mhrec_tpu.data import InteractionData, build_dataloader
+from mhrec_tpu.trainer import Trainer
+from tests.conftest import make_config
+
+
+@pytest.fixture(scope="module")
+def trained(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir,
+        loss="prior", eval_num_cats=4, num_prior_head=4, num_segment_head=1,
+        medusa_num_layers=1, pred_len=4, total_iters=20, eval_interval=10,
+        train_batch_size=16,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")),
+    )
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, valid)
+    return cfg, data, t, test, stats
+
+
+def test_fit_runs_and_saves(trained):
+    cfg, data, t, test, stats = trained
+    assert stats["iters"] == 20
+    assert t.best_valid_score is not None
+
+
+def test_evaluate_best_model(trained):
+    cfg, data, t, test, stats = trained
+    res = t.evaluate(test, load_best_model=True)
+    last = f"pred_{cfg['eval_pred_len'] - 1}"
+    assert last in res
+    assert 0.0 <= res[last]["recall@10"] <= 1.0
+    assert "Entropy@10" in res["shared"]
+    # per-category and outlier splits present
+    assert any(k.startswith("cat_") for k in res[last])
+    assert any(k.startswith("outlier_") for k in res[last])
+
+
+def test_checkpoint_roundtrip(trained):
+    import jax
+
+    cfg, data, t, test, stats = trained
+    params_before = jax.tree.leaves(t.state.params)
+    assert t.load_checkpoint()
+    params_after = jax.tree.leaves(t.state.params)
+    assert len(params_before) == len(params_after)
+    for a, b in zip(params_before, params_after):
+        assert a.shape == b.shape
+
+
+def test_loss_decreases(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir, total_iters=60, eval_interval=1000, train_batch_size=16,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt2")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+
+    import jax.numpy as jnp
+    from mhrec_tpu.parallel.mesh import shard_batch
+
+    losses = []
+    stream = train.infinite_batches(prefetch=0)
+    for i in range(60):
+        batch = shard_batch(t.mesh, next(stream))
+        t.state, out = t._jit_train_step(t.state, batch)
+        losses.append(float(out["loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_debug_mode_breaks_early(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir, total_iters=1000, debug=True,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt3")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 10
