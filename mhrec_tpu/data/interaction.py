@@ -250,6 +250,12 @@ class InteractionData:
         self.item_text = df.set_index("int_item_id", drop=False)
 
         C = self.eval_num_cats
+        if C > 1 and self.category_by in ("event", "user"):
+            # every item belongs to every category for event/user priors
+            # (reference batchset.py:36-38: tag_category all-True per item)
+            self.item_tag_matrix = np.ones((self.item_num, C), dtype=bool)
+            self.item_tag_matrix[0] = False
+            self.item_orig_tag_matrix = self.item_tag_matrix.copy()
         if C > 1 and self.category_by == "item":
             ordered_cats = [self.config["int_to_category"][i] for i in range(C)]
             cat_pos = {c: i for i, c in enumerate(ordered_cats)}

@@ -332,8 +332,11 @@ class Trainer:
             if self.dataload.item_tag_matrix is not None
             else None
         )
-        if item_tags is not None:
-            self.collector.set_all_tags(np.asarray(self.dataload.item_tag_matrix))
+        if self.dataload.item_orig_tag_matrix is not None:
+            # Entropy is computed over the ORIGINAL tags even under the
+            # random_tags/all_tags ablations (reference trainer.py:823 passes
+            # all_original_item_tags to set_all_tags)
+            self.collector.set_all_tags(np.asarray(self.dataload.item_orig_tag_matrix))
 
         top_k = max(self.config["topk"])
         switch_correct_sum = None
@@ -379,9 +382,11 @@ class Trainer:
         num_total = float(len(eval_batcher))
 
         shared_struct = self.collector.get_data_struct(-1)
-        shared = self.evaluator.evaluate(shared_struct, pred_len=-1)
-        if shared:
-            result_summary["shared"] = self._normalize_results(shared, num_total)
+        if "rec.rec_tags" in shared_struct:
+            # shared (tag-entropy) metrics only exist with category structure
+            shared = self.evaluator.evaluate(shared_struct, pred_len=-1)
+            if shared:
+                result_summary["shared"] = self._normalize_results(shared, num_total)
         self.collector.reset_all_tags()
 
         for p in self.metrics_pred_len_list:
