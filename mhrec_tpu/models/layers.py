@@ -87,6 +87,83 @@ class MLPLayers(nn.Module):
         return x
 
 
+class TransformerLayer(nn.Module):
+    """Post-LN transformer block (reference layers.py:421-637 RecBole style):
+    softmax MHA + residual + LN, then FFN + residual + LN."""
+
+    n_heads: int
+    hidden_size: int
+    inner_size: int
+    hidden_dropout_prob: float = 0.1
+    attn_dropout_prob: float = 0.1
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True):
+        B, L, D = x.shape
+        h = self.n_heads
+        dh = D // h
+        qkv = nn.DenseGeneral((3, h, dh), axis=-1, name="qkv")(x)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        scores = scores + attn_bias  # additive mask: 0 or -1e9
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.attn_dropout_prob)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, L, D)
+        ctx = nn.Dense(D, name="attn_out")(ctx)
+        ctx = nn.Dropout(self.hidden_dropout_prob)(ctx, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="attn_ln")(x + ctx)
+
+        act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu,
+               "swish": nn.silu, "tanh": jnp.tanh}[self.hidden_act]
+        ff = nn.Dense(self.inner_size, name="ff_in")(x)
+        ff = act(ff)
+        ff = nn.Dense(D, name="ff_out")(ff)
+        ff = nn.Dropout(self.hidden_dropout_prob)(ff, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="ff_ln")(x + ff)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of TransformerLayers."""
+
+    n_layers: int
+    n_heads: int
+    hidden_size: int
+    inner_size: int
+    hidden_dropout_prob: float = 0.1
+    attn_dropout_prob: float = 0.1
+    hidden_act: str = "gelu"
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool = True):
+        for i in range(self.n_layers):
+            x = TransformerLayer(
+                n_heads=self.n_heads,
+                hidden_size=self.hidden_size,
+                inner_size=self.inner_size,
+                hidden_dropout_prob=self.hidden_dropout_prob,
+                attn_dropout_prob=self.attn_dropout_prob,
+                hidden_act=self.hidden_act,
+                layer_norm_eps=self.layer_norm_eps,
+                name=f"layer_{i}",
+            )(x, attn_bias, deterministic=deterministic)
+        return x
+
+
+def additive_causal_mask(items: jnp.ndarray, bidirectional: bool = False):
+    """0 / -1e9 additive attention mask from non-pad item ids
+    (reference sasrec.py get_attention_mask)."""
+    L = items.shape[1]
+    keep = items != 0
+    mask = keep[:, None, None, :]
+    if not bidirectional:
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        mask = mask & causal[None, None]
+    return jnp.where(mask, 0.0, -1e9)
+
+
 def asymmetric_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

@@ -108,10 +108,10 @@ class Trainer:
     def setup_model(self, seed: Optional[int] = None):
         seed = int(seed if seed is not None else (self.config["seed"] or 0))
         base = jax.random.PRNGKey(seed)
-        k_param, k_drop, k_mix, k_state = jax.random.split(base, 4)
+        k_param, k_drop, k_mix, k_neg, k_state = jax.random.split(base, 5)
         example = self._example_batch()
         variables = self.model.init(
-            {"params": k_param, "dropout": k_drop, "mix": k_mix},
+            {"params": k_param, "dropout": k_drop, "mix": k_mix, "neg": k_neg},
             example,
             deterministic=False,
         )
@@ -163,14 +163,14 @@ class Trainer:
 
         def train_step(state: TrainState, batch):
             rng = jax.random.fold_in(state.rng, state.step)
-            drop_rng, mix_rng = jax.random.split(rng)
+            drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
 
             def loss_fn(params):
                 out = model.apply(
                     {"params": params},
                     batch,
                     deterministic=False,
-                    rngs={"dropout": drop_rng, "mix": mix_rng},
+                    rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
                 )
                 return out["loss"], out
 
