@@ -31,14 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mhrec_tpu.models.layers import (
-    ResBlock,
-    asymmetric_loss,
-    cosine_normalize,
-    trunc_normal_init,
-    weighted_bce_with_logits,
+from mhrec_tpu.models.layers import ResBlock, cosine_normalize, trunc_normal_init
+from mhrec_tpu.models.multihead import (
+    compute_multihead_losses,
+    predict_switch_and_heads,
 )
-from mhrec_tpu.models.losses import multi_horizon_nce
 from mhrec_tpu.ops import hstu_attention
 from mhrec_tpu.utils.enums import InputType
 
@@ -319,178 +316,21 @@ class HSTU(nn.Module):
         items = batch["items"]
         neg_items = batch["neg_items"]
         user_mask = batch["masked_index"].astype(bool)
-        L, P = self.max_seq_length, self.pred_len
-        B = items.shape[0]
+        L = self.max_seq_length
 
         pos_items_embs = self._embed_items(items)          # [B, L+P, D]
-        input_emb = pos_items_embs[:, :L]
         ctx_items = jnp.where(user_mask[:, :L], items[:, :L], 0)
         output_embs = self.encode(ctx_items, deterministic=deterministic)
-        head_embs = self.compute_heads(output_embs)        # [B, H, L, D]
-
-        # base validity: context position valid AND target position valid
-        # (reference windows_mask & base_mask, hstu.py:682-685)
-        base_mask = jnp.stack(
-            [user_mask[:, :L] & user_mask[:, p + 1 : p + 1 + L] for p in range(P)],
-            axis=1,
-        )  # [B, P, L]
-
-        lam = self.horizon_discount()
-        model_out: Dict[str, jnp.ndarray] = {}
-        total = jnp.asarray(0.0, jnp.float32)
-        seg_accum = jnp.zeros(P, jnp.float32)
 
         def _neg_norm(col):
             neg_emb = self._embed_items(neg_items[:, col]).astype(jnp.float32)
             neg_emb = cosine_normalize(neg_emb)
             return neg_emb.reshape(-1, neg_emb.shape[-1])
 
-        run_nce = self.loss_type == "nce" or (
-            self.loss_type == "prior" and self.head_interaction == "additive"
+        return compute_multihead_losses(
+            self, output_embs, pos_items_embs, user_mask,
+            batch.get("tag_categories"), _neg_norm,
         )
-        run_prior = self.loss_type == "prior"
-
-        if run_nce:
-            head_for_pred = np.arange(P) // self.seg_len
-            loss_nce, per_pred, logs = multi_horizon_nce(
-                head_embs=head_embs,
-                target_embs=pos_items_embs,
-                neg_embs_norm=_neg_norm(-1),
-                base_mask=base_mask,
-                head_for_pred=head_for_pred,
-                horizon_discount=lam,
-                logit_scale=self._logit_scale(),
-                nce_thres=self.nce_thres,
-                compute_topk_log=True,
-            )
-            total = total + loss_nce
-            seg_accum = seg_accum + per_pred
-            model_out.update(logs)
-            if self.loss_type == "nce":
-                seg = per_pred.reshape(self.num_segment_head, self.seg_len).sum(axis=1)
-                for s in range(self.num_segment_head):
-                    model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
-
-        if run_prior:
-            tag_categories = batch["tag_categories"].astype(bool)  # [B, L+P, C]
-            seg_len = self.pred_len if self.head_interaction == "additive" else self.seg_len
-            segment_for_pred = np.arange(P) // seg_len
-            per_pred_accum = jnp.zeros(P, jnp.float32)
-            global_neg = (
-                _neg_norm(-1)
-                if (not self.neg_sample_by_cat or self.head_interaction == "additive")
-                else None
-            )
-
-            for c in range(self.num_prior_head):
-                cat_name = (
-                    self.int_to_category[c] if c < len(self.int_to_category) else str(c)
-                )
-                neg_norm = _neg_norm(c) if self.neg_sample_by_cat else global_neg
-
-                # prior-switch aux loss
-                if self.prior_switch is not None and not (self.master_switch and c > 0):
-                    total, model_out = self._switch_loss(
-                        total, model_out, output_embs, head_embs, tag_categories,
-                        user_mask, c, cat_name,
-                    )
-
-                prior_full = tag_categories[:, :, c]  # [B, L+P]
-                prior_win = jnp.stack(
-                    [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=1
-                )
-                if self.pos_sample_mix_ratio > 0.0:
-                    mix = (
-                        jax.random.uniform(self.make_rng("mix"), prior_win.shape)
-                        < self.pos_sample_mix_ratio
-                    )
-                    prior_win = prior_win | mix
-
-                if self.head_interaction == "additive":
-                    head_for_pred = np.full(P, self.num_segment_head + c)
-                else:
-                    head_for_pred = segment_for_pred * self.num_prior_head + c
-
-                loss_c, per_pred, logs = multi_horizon_nce(
-                    head_embs=head_embs,
-                    target_embs=pos_items_embs,
-                    neg_embs_norm=neg_norm,
-                    base_mask=base_mask,
-                    head_for_pred=head_for_pred,
-                    horizon_discount=lam,
-                    logit_scale=self._logit_scale(),
-                    nce_thres=self.nce_thres,
-                    loss_weight=float(self.prior_loss_weight[c]),
-                    extra_mask=prior_win,
-                    compute_topk_log=(c == 0),
-                )
-                total = total + loss_c
-                per_pred_accum = per_pred_accum + per_pred
-                model_out[f"head_nce_{cat_name}_loss"] = jax.lax.stop_gradient(loss_c)
-                if c == 0:
-                    model_out.update(logs)
-
-            if self.head_interaction != "additive":
-                seg = per_pred_accum.reshape(self.num_segment_head, self.seg_len).sum(axis=1)
-                for s in range(self.num_segment_head):
-                    model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
-            else:
-                total = total / 2.0
-
-        model_out["loss"] = total
-        return model_out
-
-    # ------------------------------------------------------------------
-    def _switch_loss(
-        self, total, model_out, output_embs, head_embs, tag_categories, user_mask,
-        c: int, cat_name: str,
-    ):
-        """Prior-switch aux classifier loss (reference hstu.py:757-805)."""
-        L, P = self.max_seq_length, self.pred_len
-        prior_full = tag_categories[:, :, c]
-        # target: any category hit in the next-P window of each position
-        tgt = jnp.stack(
-            [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=-1
-        ).any(axis=-1).astype(jnp.float32)  # [B, L]
-        if self.switch_last_only:
-            tgt = tgt[:, -1:]
-
-        if self.prior_switch == "in":
-            aux_in = output_embs
-            if self.switch_last_only:
-                aux_in = aux_in[:, -1:]
-            if self.detach_aux_in:
-                aux_in = jax.lax.stop_gradient(aux_in)
-        elif self.prior_switch == "in_out":
-            if self.head_interaction == "additive":
-                head_slice = head_embs[:, self.num_segment_head + c]
-            else:
-                head_slice = head_embs[:, c]
-            aux_in = jnp.concatenate([output_embs, head_slice], axis=-1)
-            if self.switch_last_only:
-                aux_in = aux_in[:, -1:]
-            if self.detach_aux_in:
-                aux_in = jax.lax.stop_gradient(aux_in)
-        else:
-            raise ValueError(f"prior_switch={self.prior_switch} not recognized")
-
-        logits = self.aux_cat_head[c](aux_in.astype(jnp.float32)).squeeze(-1)
-        if self.use_asym_switch_loss:
-            loss = asymmetric_loss(
-                logits[..., None], tgt[..., None],
-                gamma_pos=self.gamma_pos, gamma_neg=self.gamma_neg,
-            )
-        else:
-            p = float(np.clip(self.prior_loss_weight[c], 1e-6, 1 - 1e-6))
-            pos_w = jnp.asarray((1.0 - p) / p, jnp.float32)
-            loss = weighted_bce_with_logits(logits, tgt, pos_w)
-        acc = jnp.mean(((logits >= 0) == (tgt > 0.5)).astype(jnp.float32))
-        model_out[f"head_cat_{cat_name}_acc"] = jax.lax.stop_gradient(acc)
-        total = total + self.prior_switch_loss_weight * loss
-        model_out[f"head_cat_{cat_name}_loss"] = jax.lax.stop_gradient(
-            self.prior_switch_loss_weight * loss
-        )
-        return total, model_out
 
     # ------------------------------------------------------------------
     def predict_embeddings(self, item_seq, target_tags=None):
@@ -502,37 +342,8 @@ class HSTU(nn.Module):
           switch_pred [B, num_prior_head] bool (if prior_switch configured)
           switch_correct — per-head correct-count scalars for logging
         """
-        out: Dict[str, jnp.ndarray] = {}
         output_embs = self.encode(item_seq, deterministic=True)
-        last = output_embs[:, -1].astype(jnp.float32)       # [B, D]
-        heads = self.compute_heads(last)                    # [B, H, D]
-        heads = cosine_normalize(heads.astype(jnp.float32))
-        out["head_embs"] = heads
-        out["user_emb"] = cosine_normalize(last)
-
-        if self.loss_type == "prior" and self.prior_switch is not None:
-            switch_range = 1 if self.master_switch else self.num_prior_head
-            preds = []
-            for c in range(switch_range):
-                if self.prior_switch == "in":
-                    logits = self.aux_cat_head[c](last)
-                else:
-                    if self.head_interaction == "additive":
-                        aux = jnp.concatenate(
-                            [last, heads[:, self.num_segment_head + c]], axis=-1
-                        )
-                    else:
-                        aux = jnp.concatenate([last, heads[:, c]], axis=-1)
-                    logits = self.aux_cat_head[c](aux)
-                preds.append((logits.squeeze(-1) >= 0))
-            switch_pred = jnp.stack(preds, axis=1)          # [B, switch_range]
-            out["switch_pred"] = switch_pred
-            if target_tags is not None:
-                labels = (target_tags.sum(axis=1) > 0)      # [B, C]
-                out["switch_correct"] = (
-                    (labels[:, :switch_range] == switch_pred).sum(axis=0).astype(jnp.float32)
-                )
-        return out
+        return predict_switch_and_heads(self, output_embs[:, -1], target_tags)
 
     def score_items(
         self,

@@ -1,0 +1,226 @@
+"""Shared multi-head ("medusa") decoding + prior loss machinery.
+
+Used by both HSTU (reference hstu.py:631-872) and HLLM (reference
+hllm.py:476-763) — the two reference models duplicate this block verbatim;
+here it is one function over a duck-typed model exposing:
+
+  attributes: loss_type, head_interaction, num_segment_head, num_prior_head,
+      medusa_num_heads, seg_len, pred_len, max_seq_length, nce_thres,
+      neg_sample_by_cat, pos_sample_mix_ratio, prior_loss_weight,
+      prior_switch, prior_switch_loss_weight, use_asym_switch_loss,
+      gamma_pos, gamma_neg, switch_last_only, master_switch, detach_aux_in,
+      int_to_category
+  methods: compute_heads(x), _logit_scale(), horizon_discount(),
+      aux_cat_head[c] (when prior_switch), make_rng('mix')
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhrec_tpu.models.layers import asymmetric_loss, weighted_bce_with_logits
+from mhrec_tpu.models.losses import multi_horizon_nce
+
+
+def compute_multihead_losses(
+    model,
+    output_embs: jnp.ndarray,       # [B, L, D] trunk outputs
+    pos_items_embs: jnp.ndarray,    # [B, L+P, D] target-item embeddings
+    user_mask: jnp.ndarray,         # [B, L+P] bool
+    tag_categories,                 # [B, L+P, C] bool or None
+    neg_norm_fn: Callable[[int], jnp.ndarray],  # col → [M, D] normalized negs
+) -> Dict[str, jnp.ndarray]:
+    L, P = model.max_seq_length, model.pred_len
+    head_embs = model.compute_heads(output_embs)  # [B, H, L, D]
+
+    base_mask = jnp.stack(
+        [user_mask[:, :L] & user_mask[:, p + 1 : p + 1 + L] for p in range(P)],
+        axis=1,
+    )
+    lam = model.horizon_discount()
+    model_out: Dict[str, jnp.ndarray] = {}
+    total = jnp.asarray(0.0, jnp.float32)
+
+    run_nce = model.loss_type == "nce" or (
+        model.loss_type == "prior" and model.head_interaction == "additive"
+    )
+    run_prior = model.loss_type == "prior"
+
+    if run_nce:
+        head_for_pred = np.arange(P) // model.seg_len
+        loss_nce, per_pred, logs = multi_horizon_nce(
+            head_embs=head_embs,
+            target_embs=pos_items_embs,
+            neg_embs_norm=neg_norm_fn(-1),
+            base_mask=base_mask,
+            head_for_pred=head_for_pred,
+            horizon_discount=lam,
+            logit_scale=model._logit_scale(),
+            nce_thres=model.nce_thres,
+            compute_topk_log=True,
+        )
+        total = total + loss_nce
+        model_out.update(logs)
+        if model.loss_type == "nce":
+            seg = per_pred.reshape(model.num_segment_head, model.seg_len).sum(axis=1)
+            for s in range(model.num_segment_head):
+                model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
+
+    if run_prior:
+        tags = tag_categories.astype(bool)
+        seg_len = P if model.head_interaction == "additive" else model.seg_len
+        segment_for_pred = np.arange(P) // seg_len
+        per_pred_accum = jnp.zeros(P, jnp.float32)
+        global_neg = (
+            neg_norm_fn(-1)
+            if (not model.neg_sample_by_cat or model.head_interaction == "additive")
+            else None
+        )
+
+        for c in range(model.num_prior_head):
+            cat_name = (
+                model.int_to_category[c]
+                if c < len(model.int_to_category)
+                else str(c)
+            )
+            neg_norm = neg_norm_fn(c) if model.neg_sample_by_cat else global_neg
+
+            if model.prior_switch is not None and not (model.master_switch and c > 0):
+                total, model_out = _switch_loss(
+                    model, total, model_out, output_embs, head_embs, tags,
+                    c, cat_name,
+                )
+
+            prior_full = tags[:, :, c]
+            prior_win = jnp.stack(
+                [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=1
+            )
+            if model.pos_sample_mix_ratio > 0.0:
+                mix = (
+                    jax.random.uniform(model.make_rng("mix"), prior_win.shape)
+                    < model.pos_sample_mix_ratio
+                )
+                prior_win = prior_win | mix
+
+            if model.head_interaction == "additive":
+                head_for_pred = np.full(P, model.num_segment_head + c)
+            else:
+                head_for_pred = segment_for_pred * model.num_prior_head + c
+
+            loss_c, per_pred, logs = multi_horizon_nce(
+                head_embs=head_embs,
+                target_embs=pos_items_embs,
+                neg_embs_norm=neg_norm,
+                base_mask=base_mask,
+                head_for_pred=head_for_pred,
+                horizon_discount=lam,
+                logit_scale=model._logit_scale(),
+                nce_thres=model.nce_thres,
+                loss_weight=float(model.prior_loss_weight[c]),
+                extra_mask=prior_win,
+                compute_topk_log=(c == 0),
+            )
+            total = total + loss_c
+            per_pred_accum = per_pred_accum + per_pred
+            model_out[f"head_nce_{cat_name}_loss"] = jax.lax.stop_gradient(loss_c)
+            if c == 0:
+                model_out.update(logs)
+
+        if model.head_interaction != "additive":
+            seg = per_pred_accum.reshape(model.num_segment_head, model.seg_len).sum(axis=1)
+            for s in range(model.num_segment_head):
+                model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
+        else:
+            total = total / 2.0
+
+    model_out["loss"] = total
+    return model_out
+
+
+def _switch_loss(model, total, model_out, output_embs, head_embs, tags, c, cat_name):
+    """Prior-switch aux classifier loss (reference hstu.py:757-805)."""
+    L, P = model.max_seq_length, model.pred_len
+    prior_full = tags[:, :, c]
+    tgt = jnp.stack(
+        [prior_full[:, p + 1 : p + 1 + L] for p in range(P)], axis=-1
+    ).any(axis=-1).astype(jnp.float32)
+    if model.switch_last_only:
+        tgt = tgt[:, -1:]
+
+    if model.prior_switch == "in":
+        aux_in = output_embs
+        if model.switch_last_only:
+            aux_in = aux_in[:, -1:]
+        if model.detach_aux_in:
+            aux_in = jax.lax.stop_gradient(aux_in)
+    elif model.prior_switch == "in_out":
+        if model.head_interaction == "additive":
+            head_slice = head_embs[:, model.num_segment_head + c]
+        else:
+            head_slice = head_embs[:, c]
+        aux_in = jnp.concatenate([output_embs, head_slice], axis=-1)
+        if model.switch_last_only:
+            aux_in = aux_in[:, -1:]
+        if model.detach_aux_in:
+            aux_in = jax.lax.stop_gradient(aux_in)
+    else:
+        raise ValueError(f"prior_switch={model.prior_switch} not recognized")
+
+    logits = model.aux_cat_head[c](aux_in.astype(jnp.float32)).squeeze(-1)
+    if model.use_asym_switch_loss:
+        loss = asymmetric_loss(
+            logits[..., None], tgt[..., None],
+            gamma_pos=model.gamma_pos, gamma_neg=model.gamma_neg,
+        )
+    else:
+        p = float(np.clip(model.prior_loss_weight[c], 1e-6, 1 - 1e-6))
+        pos_w = jnp.asarray((1.0 - p) / p, jnp.float32)
+        loss = weighted_bce_with_logits(logits, tgt, pos_w)
+    acc = jnp.mean(((logits >= 0) == (tgt > 0.5)).astype(jnp.float32))
+    model_out[f"head_cat_{cat_name}_acc"] = jax.lax.stop_gradient(acc)
+    total = total + model.prior_switch_loss_weight * loss
+    model_out[f"head_cat_{cat_name}_loss"] = jax.lax.stop_gradient(
+        model.prior_switch_loss_weight * loss
+    )
+    return total, model_out
+
+
+def predict_switch_and_heads(model, last_hidden, target_tags):
+    """Eval-time head embeddings + prior-switch predictions — shared by HSTU
+    predict (hstu.py:874-971) and HLLM predict (hllm.py:765-883)."""
+    from mhrec_tpu.models.layers import cosine_normalize
+
+    out: Dict[str, jnp.ndarray] = {}
+    last = last_hidden.astype(jnp.float32)
+    heads = model.compute_heads(last)
+    heads = cosine_normalize(heads.astype(jnp.float32))
+    out["head_embs"] = heads
+    out["user_emb"] = cosine_normalize(last)
+
+    if model.loss_type == "prior" and model.prior_switch is not None:
+        switch_range = 1 if model.master_switch else model.num_prior_head
+        preds = []
+        for c in range(switch_range):
+            if model.prior_switch == "in":
+                logits = model.aux_cat_head[c](last)
+            else:
+                if model.head_interaction == "additive":
+                    aux = jnp.concatenate(
+                        [last, heads[:, model.num_segment_head + c]], axis=-1
+                    )
+                else:
+                    aux = jnp.concatenate([last, heads[:, c]], axis=-1)
+                logits = model.aux_cat_head[c](aux)
+            preds.append(logits.squeeze(-1) >= 0)
+        switch_pred = jnp.stack(preds, axis=1)
+        out["switch_pred"] = switch_pred
+        if target_tags is not None:
+            labels = target_tags.sum(axis=1) > 0
+            out["switch_correct"] = (
+                (labels[:, :switch_range] == switch_pred).sum(axis=0).astype(jnp.float32)
+            )
+    return out

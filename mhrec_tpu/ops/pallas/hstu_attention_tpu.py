@@ -34,18 +34,19 @@ def _silu(x):
 
 def _fwd_kernel(nonpad_ref, q_ref, k_ref, v_ref, o_ref, *, n_real: int, tq: int):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)        # [TQ, D]
-    k = k_ref[0].astype(jnp.float32)        # [L, D]
-    v = v_ref[0].astype(jnp.float32)        # [L, Dv]
+    q = q_ref[0]                            # [TQ, D] native dtype (bf16 on MXU)
+    k = k_ref[0]                            # [L, D]
+    v = v_ref[0]                            # [L, Dv]
+    nonpad = nonpad_ref[0, 0]               # [L]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [TQ, L]
+    )  # [TQ, L] f32 accum
     s = _silu(s) * (1.0 / n_real)
     L = k.shape[0]
     rows = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
-    mask = (cols <= rows) & (nonpad_ref[0][None, :] > 0)
-    s = jnp.where(mask, s, 0.0)
+    mask = (cols <= rows) & (nonpad[None, :] > 0)
+    s = jnp.where(mask, s, 0.0).astype(v.dtype)
     o_ref[0] = jax.lax.dot_general(
         s, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
@@ -53,19 +54,19 @@ def _fwd_kernel(nonpad_ref, q_ref, k_ref, v_ref, o_ref, *, n_real: int, tq: int)
 
 def _bwd_kernel(nonpad_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                 *, n_real: int):
-    q = q_ref[0].astype(jnp.float32)        # [L, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)        # [L, Dv]
+    q = q_ref[0]                            # [L, D] native dtype
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]                            # [L, Dv]
     L = q.shape[0]
     x = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [L, L]
+    )  # [L, L] f32
     sig = jax.nn.sigmoid(x)
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    mask = (cols <= rows) & (nonpad_ref[0][None, :] > 0)
-    a = jnp.where(mask, x * sig * (1.0 / n_real), 0.0)  # masked silu/n
+    mask = (cols <= rows) & (nonpad_ref[0, 0][None, :] > 0)
+    a = jnp.where(mask, x * sig * (1.0 / n_real), 0.0).astype(v.dtype)
     # dV = Aᵀ g
     dv_ref[0] = jax.lax.dot_general(
         a, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -75,7 +76,7 @@ def _bwd_kernel(nonpad_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     dsilu = sig * (1.0 + x * (1.0 - sig))
-    ds = jnp.where(mask, da * dsilu * (1.0 / n_real), 0.0)
+    ds = jnp.where(mask, da * dsilu * (1.0 / n_real), 0.0).astype(q.dtype)
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -107,14 +108,14 @@ def _fwd(q, k, v, nonpad, n_real, interpret):
     qp = _pad_to(q, L_pad, 1)
     kp = _pad_to(k, L_pad, 1)
     vp = _pad_to(v, L_pad, 1)
-    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]  # [BH, 1, L]
 
     grid = (BH, L_pad // tq)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n_real=n_real, tq=tq),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, L_pad), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L_pad, Dv), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -140,13 +141,13 @@ def _bwd(n_real, interpret, res, g):
     kp = _pad_to(k, L_pad, 1)
     vp = _pad_to(v, L_pad, 1)
     gp = _pad_to(g, L_pad, 1)
-    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]
 
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, n_real=n_real),
         grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, L_pad), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L_pad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L_pad, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L_pad, Dv), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),

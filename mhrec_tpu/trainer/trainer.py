@@ -164,6 +164,7 @@ class Trainer:
         def train_step(state: TrainState, batch):
             rng = jax.random.fold_in(state.rng, state.step)
             drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
+            batch = dict(batch, step=state.step)  # e.g. DualVAE KL annealing
 
             def loss_fn(params):
                 out = model.apply(
