@@ -5,11 +5,12 @@ from __future__ import annotations
 
 from mhrec_tpu.data.evalset import SeqEvalBatcher
 from mhrec_tpu.data.trainset import SEQTrainBatcher
+from mhrec_tpu.data.textset import TextSEQTrainBatcher
 
-# model name → train batcher class; text models get their own batcher once the
-# HLLM stack lands (reference maps HLLM→TextSEQTrainDataset)
+# model name → train batcher class (reference data/utils.py:18-26 registry)
 _TRAIN_BATCHERS = {
     "default": SEQTrainBatcher,
+    "HLLM": TextSEQTrainBatcher,
 }
 
 

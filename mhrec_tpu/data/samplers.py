@@ -40,6 +40,7 @@ class NegativeSampler:
         global_cdf: Optional[np.ndarray] = None,  # popularity CDF over items 1..item_num-1
         cat_cdfs: Optional[List[np.ndarray]] = None,
         neg_sample_mix_ratio: float = 0.0,
+        use_native: bool = True,
     ):
         self.item_num = item_num
         self.all_items = np.arange(1, item_num, dtype=np.int64)
@@ -47,6 +48,12 @@ class NegativeSampler:
         self.global_cdf = global_cdf
         self.cat_cdfs = cat_cdfs
         self.mix_ratio = float(neg_sample_mix_ratio)
+        if use_native:
+            from mhrec_tpu import native
+
+            self.native = native if native.available() else None
+        else:
+            self.native = None
 
     # ------------------------------------------------------------------
     def sample(
@@ -83,6 +90,19 @@ class NegativeSampler:
     # ------------------------------------------------------------------
     def _draw(self, rng, blacklist, k, pool, cdf):
         B = blacklist.shape[0]
+        if self.native is not None and k + blacklist.shape[1] < len(pool) // 2:
+            # native OpenMP rejection sampler (mhrec_tpu/native); identical
+            # semantics, different (but seeded) random stream
+            seed = int(rng.integers(0, 2**63 - 1))
+            if cdf is not None:
+                return self.native.sample_negatives_weighted(
+                    blacklist, k, pool, cdf, seed
+                )
+            if pool is self.all_items:
+                return self.native.sample_negatives_uniform(
+                    blacklist, k, self.item_num, seed
+                )
+            return self.native.sample_negatives_pool(blacklist, k, pool, seed)
         if cdf is not None:
             # weighted: with replacement, reject blacklisted only
             cand = self._weighted_candidates(rng, cdf, pool, (B, k))
@@ -161,4 +181,5 @@ def make_negative_sampler(config, data) -> NegativeSampler:
         global_cdf=global_cdf,
         cat_cdfs=cat_cdfs,
         neg_sample_mix_ratio=config["neg_sample_mix_ratio"] or 0.0,
+        use_native=config.get("use_native_sampler", True),
     )

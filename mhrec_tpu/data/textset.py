@@ -1,0 +1,177 @@
+"""Text batching for the HLLM two-tower stack.
+
+Counterpart of the reference ``TextSEQTrainDataset`` / ``BatchTextDataset``
+(trainset.py:180-583, batchset.py:57-268): each item's text is rendered as
+``{item_prompt}Title: .. Tag: .. Description: ..`` and tokenized to at most
+``MAX_TEXT_LENGTH`` tokens, with one trailing slot reserved for the
+learnable item-embedding token.
+
+TPU-first differences from the reference:
+* items are tokenized once and cached (the reference re-tokenizes every
+  occurrence in every epoch inside DataLoader workers);
+* batches are dense padded matrices with *static* shapes (``pos_tokens
+  [B·(L+P), T+1]``, ``neg_tokens [B·NC·K, T+1]``) rather than rm-pad flat
+  packs — the padded-key mask removes pad attention, XLA compiles once.
+  (A dedup-by-unique-item variant would save item-tower FLOPs but makes the
+  unique count dynamic; a bucketed version is a future optimization.)
+
+Tokenizer resolution: a local HF tokenizer dir when available
+(``local_files_only``), else a deterministic hashing tokenizer so the full
+pipeline runs hermetically (tests, synthetic data).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from mhrec_tpu.data.trainset import SEQTrainBatcher
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer (no vocab files needed)."""
+
+    def __init__(self, vocab_size: int = 1024):
+        self.vocab_size = vocab_size
+        self.bos_token_id = 1
+
+    def encode(self, text: str, max_length: int):
+        ids = [self.bos_token_id]
+        for tok in text.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+            ids.append(2 + h % (self.vocab_size - 2))
+            if len(ids) >= max_length:
+                break
+        return ids
+
+
+def build_tokenizer(pretrain_dir: Optional[str], vocab_size: int = 1024):
+    if pretrain_dir:
+        try:
+            from transformers import AutoTokenizer
+
+            return _HFTokenizerWrapper(
+                AutoTokenizer.from_pretrained(
+                    pretrain_dir, local_files_only=True, trust_remote_code=True
+                )
+            )
+        except Exception:
+            pass
+    return HashTokenizer(vocab_size)
+
+
+class _HFTokenizerWrapper:
+    def __init__(self, tok):
+        self.tok = tok
+        self.vocab_size = tok.vocab_size
+
+    def encode(self, text: str, max_length: int):
+        return self.tok.encode(text, truncation=True, max_length=max_length)
+
+
+class ItemTextCache:
+    """Per-item token arrays, computed once."""
+
+    def __init__(self, dataload, tokenizer, text_keys, item_prompt: str,
+                 max_text_length: int):
+        self.dataload = dataload
+        self.tokenizer = tokenizer
+        self.text_keys = list(text_keys or ["title", "tag", "description"])
+        self.item_prompt = item_prompt or ""
+        self.max_text_length = max_text_length
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def render(self, item_id: int) -> str:
+        df = self.dataload.item_text
+        parts = [self.item_prompt] if self.item_prompt else []
+        if df is not None and item_id in df.index:
+            row = df.loc[item_id]
+            for key in self.text_keys:
+                if key in row and row[key] is not None:
+                    parts.append(f"{key.capitalize()}: {row[key]}")
+        return " ".join(str(p) for p in parts) or "unknown item"
+
+    def tokens(self, item_id: int) -> np.ndarray:
+        arr = self._cache.get(item_id)
+        if arr is None:
+            ids = self.tokenizer.encode(self.render(item_id), self.max_text_length)
+            arr = np.asarray(ids[: self.max_text_length], dtype=np.int32)
+            self._cache[item_id] = arr
+        return arr
+
+    def batch(self, item_ids: np.ndarray):
+        """→ (tokens [N, T+1] with a trailing emb slot, lens [N])."""
+        T = self.max_text_length
+        N = len(item_ids)
+        out = np.zeros((N, T + 1), dtype=np.int32)
+        lens = np.empty(N, dtype=np.int32)
+        for i, iid in enumerate(item_ids):
+            ids = self.tokens(int(iid))
+            out[i, : len(ids)] = ids
+            lens[i] = len(ids)
+        return out, lens
+
+
+class TextSEQTrainBatcher(SEQTrainBatcher):
+    """SEQTrainBatcher + deduplicated item-text token matrices."""
+
+    def __init__(self, config, dataload, **kw):
+        super().__init__(config, dataload, **kw)
+        self.freeze_item_llm = bool(config.get("freeze_item_llm", False))
+        self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
+        tokenizer = build_tokenizer(
+            config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
+        )
+        self.text_cache = ItemTextCache(
+            dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
+            self.max_text_length,
+        )
+
+    def make_batch(self, rng, loc_idx):
+        batch = super().make_batch(rng, loc_idx)
+        if self.freeze_item_llm:
+            return batch
+        batch["pos_tokens"], batch["pos_token_lens"] = self.text_cache.batch(
+            batch["items"].ravel()
+        )
+        batch["neg_tokens"], batch["neg_token_lens"] = self.text_cache.batch(
+            batch["neg_items"].ravel()
+        )
+        return batch
+
+
+class BatchTextBatcher:
+    """All-items corpus iterator for the item-embedding precompute pass
+    (reference BatchTextDataset)."""
+
+    def __init__(self, config, dataload, batch_size: Optional[int] = None):
+        self.dataload = dataload
+        self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
+        tokenizer = build_tokenizer(
+            config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
+        )
+        self.text_cache = ItemTextCache(
+            dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
+            self.max_text_length,
+        )
+        self.batch_size = batch_size or (
+            config["MAX_ITEM_LIST_LENGTH"] * config["train_batch_size"]
+        )
+
+    def batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = self.dataload.item_num
+        bs = self.batch_size
+        for s in range(0, n, bs):
+            ids = np.arange(s, min(s + bs, n))
+            n_real = len(ids)
+            if n_real < bs:  # static shapes
+                ids = np.concatenate([ids, np.zeros(bs - n_real, np.int64)])
+            tokens, lens = self.text_cache.batch(ids)
+            yield {
+                "item_ids": ids,
+                "tokens": tokens,
+                "lens": lens,
+                "n_real": n_real,
+            }

@@ -1,0 +1,367 @@
+"""HLLM — two-tower LLM recommender.
+
+Behavior parity with reference ``code/REC/model/HLLM/hllm.py``:
+
+* **item LLM** encodes each item's text into one embedding: the hidden state
+  at the trailing learnable ``item_emb_tokens`` slot (``item_emb_token_n=1``,
+  hllm.py:399-464) or masked mean pooling (``item_emb_token_n=0``);
+* **user LLM** consumes the sequence of item embeddings via
+  ``inputs_embeds`` with the user attention mask (hllm.py:501-502);
+* identical multi-head medusa/prior/NCE machinery as HSTU — shared via
+  :mod:`mhrec_tpu.models.multihead` (the reference duplicates the block);
+  ``logit_scale`` init is ln(1/0.07) here (hllm.py:119-124);
+* ``freeze_item_llm`` swaps in a precomputed ``all_item_embeds`` table
+  (hllm.py:485-488); ``dummy_llm`` uses the embedding+linear debug backend;
+* ``compute_item_chunk`` is the corpus-embedding pass (hllm.py:893-908),
+  driven in chunks by the trainer; predict runs the user tower over table
+  lookups (hllm.py:765-883).
+
+Towers are Llama-family flax backbones (padded dense batches, see
+``models/llm/llama.py``) with optional remat for gradient checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhrec_tpu.models.idnet.hstu import MedusaHead, _CatBottleneck
+from mhrec_tpu.models.layers import cosine_normalize, trunc_normal_init
+from mhrec_tpu.models.llm.config import LLMConfig
+from mhrec_tpu.models.llm.dummy import DummyLLM
+from mhrec_tpu.models.llm.llama import LlamaBackbone
+from mhrec_tpu.models.multihead import (
+    compute_multihead_losses,
+    predict_switch_and_heads,
+)
+from mhrec_tpu.utils.enums import InputType
+
+
+class HLLM(nn.Module):
+    item_config: LLMConfig
+    user_config: LLMConfig
+    max_seq_length: int
+    pred_len: int
+    dummy_llm: bool = False
+    freeze_item_llm: bool = False
+    item_num: int = 0              # needed for the frozen-table variable
+    item_emb_token_n: int = 1
+    gradient_checkpointing: bool = False
+    # loss / heads (same contract as HSTU)
+    loss_type: str = "nce"
+    nce_thres: float = 0.99
+    fix_temp: bool = False
+    medusa_lambda: float = 0.99
+    medusa_num_layers: int = 0
+    num_segment_head: int = 1
+    num_prior_head: int = 1
+    head_interaction: str = "multiplicative"
+    neg_sample_by_cat: bool = False
+    pos_sample_mix_ratio: float = 0.0
+    prior_loss_weight: Tuple[float, ...] = (1.0,)
+    prior_switch: Optional[str] = None
+    prior_switch_loss_weight: float = 0.0
+    use_asym_switch_loss: bool = False
+    gamma_pos: float = 4.0
+    gamma_neg: float = 0.0
+    switch_last_only: bool = False
+    master_switch: bool = False
+    detach_aux_in: bool = False
+    eval_pred_len: int = 1
+    prior_given_at_test: bool = False
+    given_prior_len: int = 1
+    use_prior_switch_test: bool = False
+    int_to_category: Tuple[str, ...] = ()
+    head_norm: bool = False
+    cat_bottleneck: bool = False
+    cat_bottleneck_dim: int = 0
+    share_seg_weights: bool = False
+    use_seg_embed: bool = False
+    dtype: Any = jnp.bfloat16
+
+    input_type = InputType.SEQ
+    needs_item_corpus_pass = True  # trainer must run the text-encode pass
+
+    @property
+    def medusa_num_heads(self) -> int:
+        if self.head_interaction in ("multiplicative", "hierarchical"):
+            return self.num_segment_head * self.num_prior_head
+        if self.head_interaction == "additive":
+            return self.num_segment_head + self.num_prior_head
+        raise ValueError(self.head_interaction)
+
+    @property
+    def seg_len(self) -> int:
+        if self.medusa_num_layers > 0:
+            assert self.pred_len % self.num_segment_head == 0
+            return self.pred_len // self.num_segment_head
+        return self.pred_len
+
+    def horizon_discount(self):
+        d = jnp.asarray(
+            [self.medusa_lambda ** p for p in range(self.pred_len)], jnp.float32
+        )
+        return d / d.sum()
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        def make_llm(cfg: LLMConfig, name):
+            if self.dummy_llm:
+                return DummyLLM(cfg.vocab_size, cfg.hidden_size, name=name)
+            return LlamaBackbone(
+                cfg, dtype=self.dtype,
+                gradient_checkpointing=self.gradient_checkpointing, name=name,
+            )
+
+        if not self.freeze_item_llm:
+            self.item_llm = make_llm(self.item_config, "item_llm")
+        else:
+            # precomputed table, populated via load-time assignment
+            self.all_item_embeds = self.variable(
+                "frozen", "all_item_embeds",
+                lambda: jnp.zeros(
+                    (self.item_num, self.item_config.hidden_size), jnp.float32
+                ),
+            )
+        self.user_llm = make_llm(self.user_config, "user_llm")
+        D = self.user_config.hidden_size
+
+        if self.item_emb_token_n > 0 and not self.freeze_item_llm:
+            self.item_emb_tokens = self.param(
+                "item_emb_tokens", nn.initializers.normal(0.02),
+                (1, self.item_emb_token_n, self.item_config.hidden_size),
+            )
+
+        if self.fix_temp:
+            self.logit_scale_fixed = jnp.asarray(np.log(1 / 0.07), jnp.float32)
+        else:
+            self.logit_scale = self.param(
+                "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32)
+            )
+
+        H = self.medusa_num_heads
+        if self.head_interaction == "hierarchical" and self.medusa_num_layers > 0:
+            if self.use_seg_embed:
+                self.segment_emb = nn.Embed(
+                    self.num_segment_head, D, embedding_init=trunc_normal_init,
+                    name="segment_emb",
+                )
+            cat_heads = []
+            for c in range(self.num_prior_head):
+                blocks = []
+                if self.cat_bottleneck:
+                    bdim = self.cat_bottleneck_dim or D // 2
+                    blocks.append(_CatBottleneck(D, bdim, name=f"cat_bneck_{c}"))
+                blocks.append(
+                    MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                               name=f"cat_head_{c}")
+                )
+                cat_heads.append(blocks)
+            self.medusa_cat_head = cat_heads
+            if self.share_seg_weights:
+                shared = [
+                    MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                               name=f"seg_head_shared_{c}")
+                    for c in range(self.num_prior_head)
+                ]
+                self.medusa_seg_head = [
+                    [shared[c] for _ in range(self.num_segment_head)]
+                    for c in range(self.num_prior_head)
+                ]
+            else:
+                self.medusa_seg_head = [
+                    [
+                        MedusaHead(D, self.medusa_num_layers, use_norm=self.head_norm,
+                                   name=f"seg_head_{c}_{s}")
+                        for s in range(self.num_segment_head)
+                    ]
+                    for c in range(self.num_prior_head)
+                ]
+        else:
+            self.medusa_head = [
+                MedusaHead(D, self.medusa_num_layers, name=f"medusa_head_{h}")
+                for h in range(H)
+            ]
+        if self.loss_type == "prior" and self.prior_switch is not None:
+            self.aux_cat_head = [
+                nn.Dense(1, kernel_init=trunc_normal_init, bias_init=trunc_normal_init,
+                         name=f"aux_cat_head_{c}")
+                for c in range(self.num_prior_head)
+            ]
+
+    # -- shared-head plumbing (same as HSTU) ---------------------------
+    def _logit_scale(self):
+        return self.logit_scale_fixed if self.fix_temp else self.logit_scale
+
+    def compute_heads(self, output_embs):
+        if self.head_interaction == "hierarchical" and self.medusa_num_layers > 0:
+            outs = []
+            cat_embs = []
+            for c in range(self.num_prior_head):
+                h = output_embs
+                for block in self.medusa_cat_head[c]:
+                    h = block(h)
+                cat_embs.append(h)
+            for s in range(self.num_segment_head):
+                bias = self.segment_emb(jnp.asarray(s)) if self.use_seg_embed else None
+                for c in range(self.num_prior_head):
+                    seg_in = cat_embs[c]
+                    if bias is not None:
+                        seg_in = seg_in + bias
+                    outs.append(self.medusa_seg_head[c][s](seg_in))
+            return jnp.stack(outs, axis=1)
+        return jnp.stack([h(output_embs) for h in self.medusa_head], axis=1)
+
+    # ------------------------------------------------------------------
+    def encode_items(self, tokens: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+        """Item tower: padded token batch [N, T+1] → [N, D_item]."""
+        N, T = tokens.shape
+        col = jnp.arange(T)[None, :]
+        if self.item_emb_token_n > 0 and not self.dummy_llm:
+            attn_mask = (col <= lens[:, None]).astype(jnp.int32)  # include slot
+            hidden = self.item_llm(
+                input_ids=tokens,
+                attention_mask=attn_mask,
+                emb_tokens=self.item_emb_tokens,
+                emb_pos=lens,
+            )
+            emb = jnp.take_along_axis(hidden, lens[:, None, None], axis=1).squeeze(1)
+        else:  # mean pooling over real tokens
+            attn_mask = (col < lens[:, None]).astype(jnp.int32)
+            hidden = self.item_llm(input_ids=tokens, attention_mask=attn_mask)
+            m = attn_mask[..., None].astype(hidden.dtype)
+            emb = (hidden * m).sum(axis=1) / jnp.clip(
+                lens[:, None].astype(hidden.dtype), 1, None
+            )
+        return emb.astype(jnp.float32)
+
+    def compute_item_chunk(self, tokens, lens):
+        """Corpus-embedding pass chunk (reference compute_item)."""
+        return self.encode_items(tokens, lens)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = False):
+        user_mask = batch["masked_index"].astype(bool)
+        L = self.max_seq_length
+
+        if self.freeze_item_llm:
+            table = self.all_item_embeds.value
+            pos_items_embs = table[batch["items"]]
+
+            def _neg_norm(col):
+                neg = table[batch["neg_items"][:, col]]
+                return cosine_normalize(neg.astype(jnp.float32)).reshape(-1, neg.shape[-1])
+        else:
+            B, W = batch["items"].shape
+            pos_items_embs = self.encode_items(
+                batch["pos_tokens"], batch["pos_token_lens"]
+            ).reshape(B, W, -1)                              # [B, L+P, D]
+            n_cats = batch["neg_items"].shape[1]
+            neg_embs = self.encode_items(
+                batch["neg_tokens"], batch["neg_token_lens"]
+            ).reshape(B, n_cats, -1, pos_items_embs.shape[-1])
+
+            def _neg_norm(col):
+                neg = neg_embs[:, col]
+                return cosine_normalize(neg).reshape(-1, neg.shape[-1])
+
+        user_hidden = self.user_llm(
+            inputs_embeds=pos_items_embs[:, :L].astype(self.dtype),
+            attention_mask=user_mask[:, :L].astype(jnp.int32),
+        ).astype(jnp.float32)
+
+        return compute_multihead_losses(
+            self, user_hidden, pos_items_embs.astype(jnp.float32), user_mask,
+            batch.get("tag_categories"), _neg_norm,
+        )
+
+    # ------------------------------------------------------------------
+    def predict_embeddings(self, item_seq, target_tags=None, item_feature_table=None):
+        """Eval path: user tower over table-lookup item embeddings
+        (reference hllm.py:765-800)."""
+        assert item_feature_table is not None, "HLLM predict needs the item table"
+        attn = (item_seq > 0).astype(jnp.int32)
+        embeds = item_feature_table[item_seq].astype(self.dtype)
+        hidden = self.user_llm(inputs_embeds=embeds, attention_mask=attn)
+        return predict_switch_and_heads(self, hidden[:, -1], target_tags)
+
+    def score_items(self, head_embs, item_feats, item_tags, target_tags, switch_pred):
+        # identical mask semantics to HSTU — delegate to its implementation
+        from mhrec_tpu.models.idnet.hstu import HSTU
+
+        return HSTU.score_items(
+            self, head_embs, item_feats, item_tags, target_tags, switch_pred
+        )
+
+
+def hllm_from_config(config, dataload) -> HLLM:
+    loss = config["loss"]
+    num_prior = config["num_prior_head"] or 1
+    if loss == "prior" and config["weighted_prior_loss"]:
+        total_count = sum(dataload.category_counts.values())
+        weights = [0.0] * num_prior
+        for cat, cnt in dataload.category_counts.items():
+            weights[dataload.category_to_int[cat]] = cnt / total_count
+    else:
+        weights = [1.0 / num_prior] * num_prior
+
+    dummy = bool(config.get("dummy_llm", False))
+    item_dir = config.get("item_pretrain_dir")
+    user_dir = config.get("user_pretrain_dir")
+    if dummy or not item_dir:
+        vs = config.get("dummy_vocab_size", 1024)
+        hs = config.get("dummy_hidden_size", 64)
+        item_cfg = LLMConfig.tiny(vs, hs)
+        user_cfg = LLMConfig.tiny(vs, hs)
+        dummy = True
+    else:
+        item_cfg = LLMConfig.from_pretrained_dir(item_dir)
+        user_cfg = LLMConfig.from_pretrained_dir(user_dir or item_dir)
+
+    i2c = config["int_to_category"] or {}
+    eval_pred_len = config["eval_pred_len"]
+    prior_given = bool(config.get("prior_given_at_test", False))
+    return HLLM(
+        item_config=item_cfg,
+        user_config=user_cfg,
+        max_seq_length=config["MAX_ITEM_LIST_LENGTH"],
+        pred_len=config["pred_len"],
+        dummy_llm=dummy,
+        freeze_item_llm=bool(config.get("freeze_item_llm", False)),
+        item_num=dataload.item_num,
+        item_emb_token_n=config.get("item_emb_token_n", 1) or 0,
+        gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),
+        loss_type=loss,
+        nce_thres=config["nce_thres"] or 0.99,
+        fix_temp=bool(config["fix_temp"]),
+        medusa_lambda=config["medusa_lambda"],
+        medusa_num_layers=config["medusa_num_layers"] or 0,
+        num_segment_head=config["num_segment_head"] or 1,
+        num_prior_head=num_prior,
+        head_interaction=config["head_interaction"],
+        neg_sample_by_cat=bool(config["neg_sample_by_cat"]) and loss == "prior",
+        pos_sample_mix_ratio=config["pos_sample_mix_ratio"] or 0.0,
+        prior_loss_weight=tuple(weights),
+        prior_switch=config["prior_switch"],
+        prior_switch_loss_weight=config["prior_switch_loss_weight"] or 0.0,
+        use_asym_switch_loss=config.get("asym_switch_loss", False),
+        gamma_pos=config.get("gamma_pos", 4.0),
+        gamma_neg=config.get("gamma_neg", 0.0),
+        switch_last_only=config.get("switch_last_only", False),
+        master_switch=config.get("master_switch", False),
+        detach_aux_in=config.get("detach_aux_in", False),
+        eval_pred_len=eval_pred_len,
+        prior_given_at_test=prior_given,
+        given_prior_len=config.get("given_prior_len", eval_pred_len) if prior_given else eval_pred_len,
+        use_prior_switch_test=config.get("use_prior_switch_test", False),
+        int_to_category=tuple(i2c.get(i, str(i)) for i in range(num_prior)),
+        head_norm=config.get("head_norm", False),
+        cat_bottleneck=config.get("cat_bottleneck", False),
+        cat_bottleneck_dim=config.get("cat_bottleneck_dim", 0) or 0,
+        share_seg_weights=config.get("share_seg_weights", False),
+        use_seg_embed=config.get("segment_embed", False),
+    )

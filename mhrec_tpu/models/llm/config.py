@@ -1,0 +1,68 @@
+"""LLM architecture config, loadable from a local HF checkpoint dir.
+
+Covers the decoder family the reference vendors (llama / mistral / qwen2 /
+tinyllama / baichuan-7b share this topology: RMSNorm, RoPE, GQA, SwiGLU).
+No network access — ``from_pretrained_dir`` only reads local files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    attention_bias: bool = False        # qwen2 uses bias on q/k/v
+    tie_word_embeddings: bool = False
+    model_type: str = "llama"
+
+    @classmethod
+    def from_pretrained_dir(cls, path: str) -> "LLMConfig":
+        cfg_path = os.path.join(path, "config.json")
+        with open(cfg_path) as fh:
+            raw = json.load(fh)
+        model_type = raw.get("model_type", "llama")
+        attention_bias = raw.get(
+            "attention_bias", model_type in ("qwen2", "qwen2_vl")
+        )
+        return cls(
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_hidden_layers=raw["num_hidden_layers"],
+            num_attention_heads=raw["num_attention_heads"],
+            num_key_value_heads=raw.get(
+                "num_key_value_heads", raw["num_attention_heads"]
+            ),
+            max_position_embeddings=raw.get("max_position_embeddings", 2048),
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            attention_bias=attention_bias,
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+            model_type=model_type,
+        )
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 1024, hidden_size: int = 64) -> "LLMConfig":
+        """Small config for tests / dummy runs."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=hidden_size,
+            intermediate_size=hidden_size * 2,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+        )

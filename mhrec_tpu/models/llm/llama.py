@@ -1,0 +1,187 @@
+"""Flax decoder backbone for the Llama family (llama / TinyLlama / mistral /
+qwen2 / baichuan topology): RMSNorm → GQA attention with RoPE → SwiGLU MLP,
+pre-norm residuals, final RMSNorm.
+
+TPU-native counterpart of the reference's vendored+patched HF
+``modeling_{llama,mistral,qwen2}.py`` stacks: instead of flash-attn varlen
+kernels over rm-pad packed batches (``flash_self_attn.py``), item texts run
+as a dense padded ``[N, T]`` batch whose mask removes pad keys — static
+shapes, MXU-friendly, XLA-fused. The learnable item-embedding token is
+scattered into each row's trailing slot (reference
+``modeling_llama.py:1220-1228``) by the caller before invoking the backbone
+via ``inputs_embeds``.
+
+Supports ``input_ids`` or ``inputs_embeds``, causal or bidirectional masks,
+and fp32 params with bf16 compute.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mhrec_tpu.models.llm.config import LLMConfig
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        return (x * w).astype(dtype)
+
+
+def rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float):
+    """cos/sin tables: positions [B, T] → [B, T, head_dim//2] each."""
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, T, H, D]; rotate-half convention (HF Llama)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    config: LLMConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask_bias, cos, sin):
+        c = self.config
+        B, T, D = x.shape
+        h, hk = c.num_attention_heads, c.num_key_value_heads
+        dh = D // h
+        dense = lambda feats, name: nn.DenseGeneral(
+            feats, axis=-1, use_bias=c.attention_bias, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.02), name=name,
+        )
+        q = dense((h, dh), "q_proj")(x)
+        k = dense((hk, dh), "k_proj")(x)
+        v = dense((hk, dh), "v_proj")(x)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if hk != h:
+            rep = h // hk
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)
+        scores = scores.astype(jnp.float32) + mask_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
+        return nn.DenseGeneral(
+            D, axis=-1, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.02), name="o_proj",
+        )(ctx)
+
+
+class LlamaMLP(nn.Module):
+    config: LLMConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                      kernel_init=nn.initializers.normal(0.02), name="up_proj")(x)
+        return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaLayer(nn.Module):
+    config: LLMConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask_bias, cos, sin):
+        h = RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x)
+        x = x + LlamaAttention(self.config, self.dtype, name="self_attn")(
+            h, mask_bias, cos, sin
+        )
+        h = RMSNorm(self.config.rms_norm_eps, name="post_attention_layernorm")(x)
+        return x + LlamaMLP(self.config, self.dtype, name="mlp")(h)
+
+
+class LlamaBackbone(nn.Module):
+    """Decoder stack returning last hidden states [B, T, D]."""
+
+    config: LLMConfig
+    dtype: Any = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    hidden_size: int = 0  # resolved from config at init
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,  # [B, T] 1 = keep
+        position_ids: Optional[jnp.ndarray] = None,
+        causal: bool = True,
+        emb_tokens: Optional[jnp.ndarray] = None,  # [1, 1, D] learnable slot
+        emb_pos: Optional[jnp.ndarray] = None,     # [B] slot index per row
+    ) -> jnp.ndarray:
+        c = self.config
+        if inputs_embeds is None:
+            assert input_ids is not None
+            embed = nn.Embed(
+                c.vocab_size, c.hidden_size,
+                embedding_init=nn.initializers.normal(0.02),
+                name="embed_tokens",
+            )
+            inputs_embeds = embed(input_ids)
+        if emb_tokens is not None and emb_pos is not None:
+            # scatter the learnable item-embedding token into each row's slot
+            # (reference modeling_llama.py:1220-1228)
+            T = inputs_embeds.shape[1]
+            onehot = jax.nn.one_hot(emb_pos, T, dtype=inputs_embeds.dtype)
+            inputs_embeds = (
+                inputs_embeds * (1.0 - onehot[..., None])
+                + onehot[..., None] * emb_tokens.reshape(1, 1, -1)
+            )
+        x = inputs_embeds.astype(self.dtype)
+        B, T, _ = x.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+
+        keep = attention_mask.astype(bool)
+        mask = keep[:, None, None, :]
+        if causal:
+            tri = jnp.tril(jnp.ones((T, T), bool))
+            mask = mask & tri[None, None]
+        mask_bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
+
+        dh = c.hidden_size // c.num_attention_heads
+        cos, sin = rotary_embedding(position_ids, dh, c.rope_theta)
+
+        layer_cls = LlamaLayer
+        if self.gradient_checkpointing:
+            layer_cls = nn.remat(LlamaLayer, static_argnums=())
+        for i in range(c.num_hidden_layers):
+            x = layer_cls(c, self.dtype, name=f"layers_{i}")(x, mask_bias, cos, sin)
+        return RMSNorm(c.rms_norm_eps, name="norm")(x)

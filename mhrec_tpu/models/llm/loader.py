@@ -1,0 +1,98 @@
+"""HF checkpoint → flax parameter loading (local files only).
+
+Maps HF Llama-family state-dict names onto :class:`LlamaBackbone` params:
+
+  model.embed_tokens.weight            → embed_tokens.embedding
+  model.layers.N.self_attn.{q,k,v,o}_proj.weight/.bias
+                                       → layers_N.self_attn.*.kernel/bias
+  model.layers.N.mlp.{gate,up,down}_proj.weight
+                                       → layers_N.mlp.*.kernel
+  model.layers.N.{input,post_attention}_layernorm.weight → *.weight
+  model.norm.weight                    → norm.weight
+
+Reads ``*.safetensors`` (via safetensors.numpy) or ``pytorch_model*.bin``
+(via torch, CPU). Projection weights are transposed ([out,in] → [in,out])
+and attention projections reshaped to DenseGeneral layouts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+from mhrec_tpu.models.llm.config import LLMConfig
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for k in sf.keys():
+                    tensors[k] = sf.get_tensor(k)
+        return tensors
+    bin_files = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    index = os.path.join(path, "pytorch_model.bin.index.json")
+    if os.path.isfile(index):
+        with open(index) as fh:
+            shards = sorted(set(json.load(fh)["weight_map"].values()))
+        bin_files = [os.path.join(path, s) for s in shards]
+    if not bin_files:
+        raise FileNotFoundError(f"No safetensors/bin weights under {path}")
+    import torch
+
+    for f in bin_files:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        for k, v in sd.items():
+            tensors[k] = v.float().numpy()
+    return tensors
+
+
+def load_llama_params(path: str, config: LLMConfig, dtype=np.float32):
+    """Returns a flax params dict for LlamaBackbone."""
+    sd = _load_state_dict(path)
+    h = config.num_attention_heads
+    hk = config.num_key_value_heads
+    D = config.hidden_size
+    dh = D // h
+
+    def t(name):
+        key = name if name in sd else f"model.{name}"
+        return np.asarray(sd[key], dtype=dtype)
+
+    params: Dict = {
+        "embed_tokens": {"embedding": t("embed_tokens.weight")},
+        "norm": {"weight": t("norm.weight")},
+    }
+    for i in range(config.num_hidden_layers):
+        pre = f"layers.{i}"
+        attn = {
+            "q_proj": {"kernel": t(f"{pre}.self_attn.q_proj.weight").T.reshape(D, h, dh)},
+            "k_proj": {"kernel": t(f"{pre}.self_attn.k_proj.weight").T.reshape(D, hk, dh)},
+            "v_proj": {"kernel": t(f"{pre}.self_attn.v_proj.weight").T.reshape(D, hk, dh)},
+            "o_proj": {"kernel": t(f"{pre}.self_attn.o_proj.weight").T},
+        }
+        if config.attention_bias:
+            attn["q_proj"]["bias"] = t(f"{pre}.self_attn.q_proj.bias").reshape(h, dh)
+            attn["k_proj"]["bias"] = t(f"{pre}.self_attn.k_proj.bias").reshape(hk, dh)
+            attn["v_proj"]["bias"] = t(f"{pre}.self_attn.v_proj.bias").reshape(hk, dh)
+        params[f"layers_{i}"] = {
+            "self_attn": attn,
+            "mlp": {
+                "gate_proj": {"kernel": t(f"{pre}.mlp.gate_proj.weight").T},
+                "up_proj": {"kernel": t(f"{pre}.mlp.up_proj.weight").T},
+                "down_proj": {"kernel": t(f"{pre}.mlp.down_proj.weight").T},
+            },
+            "input_layernorm": {"weight": t(f"{pre}.input_layernorm.weight")},
+            "post_attention_layernorm": {
+                "weight": t(f"{pre}.post_attention_layernorm.weight")
+            },
+        }
+    return params

@@ -41,6 +41,8 @@ from mhrec_tpu.models.factory import build_model
 from mhrec_tpu.parallel.mesh import make_mesh, replicate, shard_batch, zero_sharded_opt_state
 from mhrec_tpu.trainer.lr_schedule import build_schedule
 from mhrec_tpu.utils.misc import calculate_valid_score, early_stopping
+from mhrec_tpu.utils.observability import get_tensorboard, save_eval_chunk
+from mhrec_tpu.utils.wandblogger import WandbLogger
 
 logger = logging.getLogger(__name__)
 
@@ -99,8 +101,11 @@ class Trainer:
         self._ckpt_mgr = None
         self._jit_train_step = None
         self._chunk_scorer = None
-
-        self.results_log: list = []
+        self.extra_vars: Dict[str, Any] = {}
+        self.wandblogger = WandbLogger(config)
+        self._tb = None
+        self.save_for_eval = bool(config.get("save_for_eval", False))
+        self.results_rows: list = []
 
     # ------------------------------------------------------------------
     # setup
@@ -110,12 +115,19 @@ class Trainer:
         base = jax.random.PRNGKey(seed)
         k_param, k_drop, k_mix, k_neg, k_state = jax.random.split(base, 5)
         example = self._example_batch()
-        variables = self.model.init(
-            {"params": k_param, "dropout": k_drop, "mix": k_mix, "neg": k_neg},
-            example,
-            deterministic=False,
+        variables = dict(
+            self.model.init(
+                {"params": k_param, "dropout": k_drop, "mix": k_mix, "neg": k_neg},
+                example,
+                deterministic=False,
+            )
         )
-        params = variables["params"]
+        params = variables.pop("params")
+        # non-trainable collections (e.g. the frozen item-embedding table)
+        self.extra_vars = variables
+        if "frozen" in self.extra_vars and self.config.get("all_item_embeds_path"):
+            table = np.load(self.config["all_item_embeds_path"])
+            self.extra_vars["frozen"]["all_item_embeds"] = jnp.asarray(table)
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info("Trainable parameters: %d", n_params)
 
@@ -149,7 +161,7 @@ class Trainer:
             if c["num_negatives"]
             else L,
         )
-        return {
+        batch = {
             "items": jnp.ones((B, L + P), jnp.int32),
             "neg_items": jnp.ones((B, n_cats, K), jnp.int32),
             "masked_index": jnp.ones((B, L + P), jnp.int32),
@@ -157,18 +169,25 @@ class Trainer:
                 (B, L + P, C) if c["loss"] == "prior" else (B, 0, 0), jnp.int8
             ),
         }
+        if str(c["model"]) == "HLLM" and not c.get("freeze_item_llm", False):
+            T = int(c.get("MAX_TEXT_LENGTH", 64)) + 1
+            batch["pos_tokens"] = jnp.ones((B * (L + P), T), jnp.int32)
+            batch["pos_token_lens"] = jnp.full((B * (L + P),), 2, jnp.int32)
+            batch["neg_tokens"] = jnp.ones((B * n_cats * K, T), jnp.int32)
+            batch["neg_token_lens"] = jnp.full((B * n_cats * K,), 2, jnp.int32)
+        return batch
 
     def _build_train_step(self):
         model, tx = self.model, self.tx
 
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, batch, extra_vars):
             rng = jax.random.fold_in(state.rng, state.step)
             drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
             batch = dict(batch, step=state.step)  # e.g. DualVAE KL annealing
 
             def loss_fn(params):
                 out = model.apply(
-                    {"params": params},
+                    {"params": params, **extra_vars},
                     batch,
                     deterministic=False,
                     rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
@@ -183,7 +202,10 @@ class Trainer:
             )
             return new_state, out
 
-        self._jit_train_step = jax.jit(train_step, donate_argnums=(0,))
+        jitted = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_train_step = lambda state, batch: jitted(
+            state, batch, self.extra_vars
+        )
 
     # ------------------------------------------------------------------
     # fit
@@ -211,6 +233,7 @@ class Trainer:
                     raise RuntimeError(f"NaN loss at iter {it}")
                 logs = {k: float(v) for k, v in out.items() if hasattr(v, "ndim")}
                 t_step += time.time() - ts
+                self._log_scalars(logs, step=it + 1, head="train")
                 logger.info(
                     "iter %d/%d loss=%.4f lr=%.3e data=%.2fs step=%.2fs",
                     it + 1, micro_steps, loss,
@@ -240,6 +263,8 @@ class Trainer:
                     "valid @ opt_step %d: %s=%.6f (best %.6f)",
                     opt_step, self.valid_metric, score, self.best_valid_score,
                 )
+                for section, metrics in result.items():
+                    self._log_scalars(metrics, step=opt_step, head=f"valid_{section}")
                 if update_flag:
                     self.best_valid_result = result
                     self.save_checkpoint()
@@ -316,10 +341,35 @@ class Trainer:
     # ------------------------------------------------------------------
     def compute_item_feature(self):
         """Corpus item embeddings (reference compute_item_feature,
-        trainer.py:731-824). ID models: one normalized matrix."""
+        trainer.py:731-824). ID models: one normalized matrix. Text models:
+        chunked item-tower pass over the whole corpus → RAW embedding table
+        (normalization happens at scoring time, reference hllm predict)."""
+        if getattr(self.model, "needs_item_corpus_pass", False):
+            if getattr(self.model, "freeze_item_llm", False):
+                return self.extra_vars["frozen"]["all_item_embeds"]
+            from mhrec_tpu.data.textset import BatchTextBatcher
+
+            corpus = BatchTextBatcher(self.config, self.dataload)
+            if not hasattr(self, "_item_chunk_fn") or self._item_chunk_fn is None:
+                self._item_chunk_fn = jax.jit(
+                    lambda p, tok, lens: self.model.apply(
+                        {"params": p, **self.extra_vars}, tok, lens,
+                        method="compute_item_chunk",
+                    )
+                )
+            chunks = []
+            for cb in corpus.batches():
+                emb = self._item_chunk_fn(
+                    self.state.params, jnp.asarray(cb["tokens"]),
+                    jnp.asarray(cb["lens"]),
+                )
+                chunks.append(np.asarray(emb)[: cb["n_real"]])
+            return jnp.asarray(np.concatenate(chunks, axis=0))
         if not hasattr(self, "_item_feat_fn") or self._item_feat_fn is None:
             self._item_feat_fn = jax.jit(
-                lambda p: self.model.apply({"params": p}, method="compute_item_all")
+                lambda p: self.model.apply(
+                    {"params": p, **self.extra_vars}, method="compute_item_all"
+                )
             )
         return self._item_feat_fn(self.state.params)
 
@@ -328,6 +378,13 @@ class Trainer:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")
         item_feats = self.compute_item_feature()
+        raw_item_table = None
+        if getattr(self.model, "needs_item_corpus_pass", False):
+            # text models: raw table feeds the user tower; normalized copy
+            # feeds cosine scoring (reference hllm predict normalizes a copy)
+            raw_item_table = item_feats
+            norm = jnp.linalg.norm(item_feats, axis=-1, keepdims=True)
+            item_feats = item_feats / jnp.clip(norm, 1e-12, None)
         item_tags = (
             jnp.asarray(self.dataload.item_tag_matrix)
             if self.dataload.item_tag_matrix is not None
@@ -344,27 +401,49 @@ class Trainer:
         n_eval_samples = 0
 
         if not hasattr(self, "_predict_fn") or self._predict_fn is None:
-            self._predict_fn = jax.jit(
-                lambda p, seq, tt: self.model.apply(
-                    {"params": p}, seq, tt, method="predict_embeddings"
+            if raw_item_table is not None:
+                self._predict_fn = jax.jit(
+                    lambda p, seq, tt, table: self.model.apply(
+                        {"params": p, **self.extra_vars}, seq, tt, table,
+                        method="predict_embeddings",
+                    )
                 )
-            )
+            else:
+                self._predict_fn = jax.jit(
+                    lambda p, seq, tt: self.model.apply(
+                        {"params": p, **self.extra_vars}, seq, tt,
+                        method="predict_embeddings",
+                    )
+                )
         predict_fn = self._predict_fn
 
         for batch in eval_batcher.batches():
             n_real = int(batch["sample_weight"].sum())
             if n_real == 0:
                 continue
-            pe = predict_fn(
+            predict_args = [
                 self.state.params,
                 jnp.asarray(batch["item_seq"]),
                 jnp.asarray(batch["target_tags"]),
-            )
+            ]
+            if raw_item_table is not None:
+                predict_args.append(raw_item_table)
+            pe = predict_fn(*predict_args)
             topk_vals, topk_idx = self._stream_score_topk(
                 pe, item_feats, item_tags, batch, top_k
             )
             topk_vals = np.asarray(topk_vals)[:n_real]
             topk_idx = np.asarray(topk_idx)[:n_real]
+            if self.save_for_eval and self.process_index == 0:
+                save_eval_chunk(
+                    os.path.join(self.saved_model_dir, "saved_eval"),
+                    n_eval_samples,
+                    user_ids=batch["user_ids"][:n_real],
+                    topk_values=topk_vals,
+                    topk_indices=topk_idx,
+                    user_embs=np.asarray(pe["user_emb"])[:n_real],
+                    head_embs=np.asarray(pe["head_embs"])[:n_real],
+                )
             self.collector.eval_batch_collect(
                 positive_i=batch["item_target"][:n_real],
                 tag_category=batch["target_tags"][:n_real],
@@ -395,6 +474,18 @@ class Trainer:
             res = self.evaluator.evaluate(struct, pred_len=p)
             result_summary[f"pred_{p}"] = self._normalize_results(res, num_total)
 
+        for section, metrics in result_summary.items():
+            self.results_rows.append({"section": section, **metrics})
+        if self.process_index == 0:
+            try:
+                import pandas as pd
+
+                os.makedirs(self.saved_model_dir, exist_ok=True)
+                pd.DataFrame(self.results_rows).to_pickle(
+                    os.path.join(self.saved_model_dir, "results.pkl")
+                )
+            except Exception:
+                pass
         if switch_correct_sum is not None and n_eval_samples > 0:
             total_n = self._reduce_sum(float(n_eval_samples))
             for c in range(len(switch_correct_sum)):
@@ -403,6 +494,15 @@ class Trainer:
                     f"head_cat_{name}_acc"
                 ] = self._reduce_sum(float(switch_correct_sum[c])) / max(total_n, 1.0)
         return result_summary
+
+    def _log_scalars(self, metrics: Dict[str, Any], step: int, head: str):
+        numeric = {k: v for k, v in metrics.items() if isinstance(v, (int, float))}
+        self.wandblogger.log_metrics(numeric, step=step, head=head)
+        if self._tb is None:
+            self._tb = get_tensorboard(self.config) or False
+        if self._tb:
+            for k, v in numeric.items():
+                self._tb.add_scalar(f"{head}/{k}", v, step)
 
     def _normalize_results(self, result: Dict[str, Any], num_total: float):
         """SUM-reduce scalars across hosts, divide by (reduced) sample counts
@@ -487,6 +587,7 @@ class Trainer:
     def _make_chunk_scorer(self):
         model = self.model
         split_mode = self.config["split_mode"]
+        extra_vars = self.extra_vars
 
         @partial(jax.jit, static_argnames=("top_k",))
         def chunk_scorer(
@@ -494,8 +595,8 @@ class Trainer:
             off, item_num, hist_r, hist_c, run_vals, run_idx, top_k,
         ):
             scores = model.apply(
-                {"params": params}, head_embs, feats_c, tags_c, tgt_tags,
-                switch_pred, method="score_items",
+                {"params": params, **extra_vars}, head_embs, feats_c, tags_c,
+                tgt_tags, switch_pred, method="score_items",
             )  # [B, H, Ck]
             if split_mode == "average" and scores.shape[1] > 1:
                 # finite-mean over heads (reference collector.py:227-230)
@@ -522,8 +623,11 @@ class Trainer:
                 pad_n = top_k - k_eff
                 vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad_n)), constant_values=-jnp.inf)
                 gidx = jnp.pad(gidx, ((0, 0), (0, 0), (0, pad_n)))
-            cat_vals = jnp.concatenate([run_vals, vals], axis=-1)
-            cat_idx = jnp.concatenate([run_idx, gidx], axis=-1)
+            # fresh chunk first: on all--inf ties (fully masked heads)
+            # lax.top_k keeps the first occurrences, which must be the
+            # chunk's DISTINCT indices, not the init buffer's repeated zeros
+            cat_vals = jnp.concatenate([vals, run_vals], axis=-1)
+            cat_idx = jnp.concatenate([gidx, run_idx], axis=-1)
             mvals, mpos = jax.lax.top_k(cat_vals, top_k)
             midx = jnp.take_along_axis(cat_idx, mpos, axis=-1)
             return mvals, midx
