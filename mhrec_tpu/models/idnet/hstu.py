@@ -55,7 +55,7 @@ class STULayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, attn_mask, deterministic: bool = True):
+    def __call__(self, x, attn_mask, deterministic: bool = True, attn_bias=None):
         B, L, D = x.shape
         h, dqk, dv = self.num_heads, self.attention_dim, self.linear_dim
         normed = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="input_norm")(x)
@@ -70,7 +70,7 @@ class STULayer(nn.Module):
         q = q.reshape(B, L, h, dqk)
         k = k.reshape(B, L, h, dqk)
         v = v.reshape(B, L, h, dv)
-        attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl)
+        attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl, bias=attn_bias)
         attn = attn.reshape(B, L, h * dv)
         gated = u * nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="attn_norm")(attn)
         gated = nn.Dropout(self.dropout_ratio)(gated, deterministic=deterministic)
@@ -109,6 +109,11 @@ class HSTU(nn.Module):
     n_heads: int
     hidden_act: str = "silu"
     hidden_dropout_prob: float = 0.0
+    # the reference CONSTRUCTS relative-bias modules under this flag but its
+    # active attention path never applies them (hstu.py:262-271, 377-403);
+    # set apply_relative_attention_bias to actually add the bias to scores
+    enable_relative_attention_bias: bool = False
+    apply_relative_attention_bias: bool = False
     loss_type: str = "nce"           # 'nce' | 'prior'
     nce_thres: float = 0.99
     fix_temp: bool = False
@@ -197,6 +202,13 @@ class HSTU(nn.Module):
             )
             for i in range(self.n_layers)
         ]
+        if self.enable_relative_attention_bias:
+            from mhrec_tpu.models.idnet.rel_bias import RelativePositionalBias
+
+            self.rel_bias = [
+                RelativePositionalBias(self.max_seq_length, name=f"rel_bias_{i}")
+                for i in range(self.n_layers)
+            ]
         if not self.fix_temp:
             self.logit_scale = self.param(
                 "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.05), jnp.float32)
@@ -280,8 +292,13 @@ class HSTU(nn.Module):
         # reference get_attention_mask (hstu.py:1023-1030): tril of the
         # broadcast non-pad KEY mask
         mask = (non_pad[:, None, None, :] & causal[None, None, :, :])
-        for layer in self.stu_layers:
-            x = layer(x, mask, deterministic=deterministic)
+        for i, layer in enumerate(self.stu_layers):
+            bias = None
+            if self.enable_relative_attention_bias:
+                b = self.rel_bias[i](None)[:, :L, :L]
+                if self.apply_relative_attention_bias:
+                    bias = b
+            x = layer(x, mask, deterministic=deterministic, attn_bias=bias)
         return x
 
     def compute_heads(self, output_embs):
@@ -457,6 +474,8 @@ def hstu_from_config(config, dataload) -> HSTU:
         n_heads=config["n_heads"],
         hidden_act=config["hidden_act"] or "silu",
         hidden_dropout_prob=config["hidden_dropout_prob"] or 0.0,
+        enable_relative_attention_bias=bool(config["enable_relative_attention_bias"]),
+        apply_relative_attention_bias=bool(config.get("apply_relative_attention_bias", False)),
         loss_type=loss,
         nce_thres=config["nce_thres"] or 0.99,
         fix_temp=bool(config["fix_temp"]),

@@ -29,17 +29,22 @@ def hstu_attention_xla(
     k: jnp.ndarray,  # [B, L, H, Dqk]
     v: jnp.ndarray,  # [B, L, H, Dv]
     mask: jnp.ndarray,  # [B, 1, L, L] or [B, H, L, L] bool / {0,1}
+    bias: jnp.ndarray | None = None,  # optional [B|1, L, L] relative bias
 ) -> jnp.ndarray:  # [B, L, H, Dv]
     n = q.shape[1]
     scores = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+    if bias is not None:
+        scores = scores + bias[:, None].astype(scores.dtype)
     scores = jax.nn.silu(scores) * (1.0 / n)
     scores = scores * mask.astype(scores.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", scores, v)
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
-def hstu_attention(q, k, v, mask, impl: str = "auto"):
+def hstu_attention(q, k, v, mask, impl: str = "auto", bias=None):
     """Dispatching entry point. ``impl``: 'auto' | 'xla' | 'pallas'."""
+    if bias is not None:
+        return hstu_attention_xla(q, k, v, mask, bias)
     if impl == "pallas":
         from mhrec_tpu.ops.pallas.hstu_attention_tpu import hstu_attention_pallas
 

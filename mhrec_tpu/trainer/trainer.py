@@ -146,6 +146,17 @@ class Trainer:
             rng=k_state,
         )
         self._build_train_step()
+        # resume (reference trainer.py:342-369): load_checkpoint_name points
+        # at a checkpoint dir; `resume: true` reloads this run's latest
+        if self.config["load_checkpoint_name"]:
+            self.saved_model_dir = os.path.abspath(self.config["load_checkpoint_name"])
+            self._ckpt_mgr = None
+            if self.load_checkpoint():
+                logger.info("resumed from %s at step %d",
+                            self.saved_model_dir, int(self.state.step))
+        elif self.config.get("resume", False):
+            if self.load_checkpoint():
+                logger.info("resumed at step %d", int(self.state.step))
         return self.state
 
     def _example_batch(self) -> Dict[str, jnp.ndarray]:
@@ -220,7 +231,11 @@ class Trainer:
         t_data = t_step = 0.0
         t0 = time.time()
         logs: Dict[str, float] = {}
-        for it in range(micro_steps):
+        start_it = int(self.state.step)  # nonzero after resume
+        if start_it:
+            logger.info("resuming fit at micro-step %d/%d", start_it, micro_steps)
+        it = start_it - 1
+        for it in range(start_it, micro_steps):
             td = time.time()
             batch = next(stream)
             batch = shard_batch(self.mesh, batch)
@@ -274,12 +289,13 @@ class Trainer:
             if self.debug and it >= 9:
                 break
         wall = time.time() - t0
-        n_examples = (it + 1) * self.config["train_batch_size"]
+        n_done = it + 1 - start_it
+        n_examples = n_done * self.config["train_batch_size"]
         logger.info(
             "fit done: %d micro-steps, %.1fs, %.1f examples/s",
-            it + 1, wall, n_examples / max(wall, 1e-9),
+            n_done, wall, n_examples / max(wall, 1e-9),
         )
-        return {"iters": it + 1, "wall_s": wall, "examples_per_s": n_examples / max(wall, 1e-9), **logs}
+        return {"iters": n_done, "wall_s": wall, "examples_per_s": n_examples / max(wall, 1e-9), **logs}
 
     # ------------------------------------------------------------------
     # checkpointing
@@ -429,6 +445,26 @@ class Trainer:
             if raw_item_table is not None:
                 predict_args.append(raw_item_table)
             pe = predict_fn(*predict_args)
+
+            # rank-based metrics (GAUC) and raw-score resources need the full
+            # [B, H, I] score tensor — only feasible for corpora that fit;
+            # the streamed-topk path serves every top-k metric otherwise
+            need_full = self.collector.register.need("rec.meanrank") or (
+                self.collector.register.need("rec.score")
+            )
+            if need_full:
+                full_scores = np.asarray(
+                    self._full_scores(pe, item_feats, item_tags, batch)
+                )[:n_real]
+                self.collector.eval_batch_collect(
+                    scores=full_scores,
+                    positive_i=batch["item_target"][:n_real],
+                    tag_category=batch["target_tags"][:n_real],
+                    outlier_users=batch["outlier_users"][:n_real],
+                )
+                n_eval_samples += n_real
+                continue
+
             topk_vals, topk_idx = self._stream_score_topk(
                 pe, item_feats, item_tags, batch, top_k
             )
@@ -583,6 +619,24 @@ class Trainer:
                 run_vals, run_idx, top_k,
             )
         return run_vals, run_idx
+
+    def _full_scores(self, pe, item_feats, item_tags, batch):
+        """Full [B, H, I] masked score tensor (small corpora only — used for
+        GAUC/meanrank and rec.score metrics, reference trainer.py:698-729)."""
+        I = item_feats.shape[0]
+        scores = self.model.apply(
+            {"params": self.state.params, **self.extra_vars},
+            pe["head_embs"], item_feats, item_tags,
+            jnp.asarray(batch["target_tags"]), pe.get("switch_pred"),
+            method="score_items",
+        )
+        gid = jnp.arange(I)
+        scores = jnp.where(gid[None, None, :] == 0, -jnp.inf, scores)
+        if self.suppress_history and len(batch["history_row"]):
+            hr = jnp.asarray(batch["history_row"], jnp.int32)
+            hc = jnp.asarray(batch["history_col"], jnp.int32)
+            scores = scores.at[hr, :, hc].set(-jnp.inf)
+        return scores
 
     def _make_chunk_scorer(self):
         model = self.model

@@ -1,0 +1,71 @@
+"""Eval-path variants: GAUC full-score path, eval_each_head, average split
+mode, streamed-vs-full score parity."""
+
+import numpy as np
+import pytest
+
+from mhrec_tpu.data import InteractionData, build_dataloader
+from mhrec_tpu.trainer import Trainer
+from tests.conftest import make_config
+
+
+def test_gauc_full_score_path(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir, metrics=["Recall", "NDCG", "GAUC"], total_iters=2,
+        checkpoint_dir=str(tmp_path_factory.mktemp("g")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.fit(train, None)
+    res = t.evaluate(test, load_best_model=False)
+    last = res[f"pred_{cfg['eval_pred_len'] - 1}"]
+    assert "gauc" in last and 0.0 <= last["gauc"] <= 1.0
+    assert "recall@10" in last
+
+
+def test_average_split_mode_end_to_end(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        medusa_num_layers=1, pred_len=4, split_mode="average", total_iters=2,
+        checkpoint_dir=str(tmp_path_factory.mktemp("a")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.fit(train, None)
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def test_streamed_chunk_merge_matches_single_chunk(synth_dir, tmp_path_factory):
+    """Top-k via many small item chunks == top-k via one chunk."""
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        medusa_num_layers=1, pred_len=4, total_iters=1,
+        checkpoint_dir=str(tmp_path_factory.mktemp("s")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    import jax.numpy as jnp
+
+    item_feats = t.compute_item_feature()
+    item_tags = jnp.asarray(data.item_tag_matrix)
+    batch = next(iter(test.batches()))
+    pe = t.model.apply(
+        {"params": t.state.params, **t.extra_vars},
+        jnp.asarray(batch["item_seq"]), jnp.asarray(batch["target_tags"]),
+        method="predict_embeddings",
+    )
+    big_v, big_i = t._stream_score_topk(pe, item_feats, item_tags, batch, 10)
+    t2 = Trainer(cfg, data)
+    t2.state = t.state
+    t2.extra_vars = t.extra_vars
+    t2.item_chunk_size = 64  # force 5 chunks over 300 items
+    small_v, small_i = t2._stream_score_topk(pe, item_feats, item_tags, batch, 10)
+    np.testing.assert_allclose(np.asarray(big_v), np.asarray(small_v), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(big_i), np.asarray(small_i))

@@ -175,3 +175,49 @@ def test_hierarchical_interaction(synth_dir):
         None, method="predict_embeddings",
     )
     assert pe["head_embs"].shape[1] == 8
+
+
+def test_relative_bias_modules():
+    import jax
+    from mhrec_tpu.models.idnet.rel_bias import (
+        RelativeBucketedTimeAndPositionBasedBias,
+        RelativePositionalBias,
+    )
+
+    m = RelativePositionalBias(max_seq_len=6)
+    params = m.init(jax.random.PRNGKey(0), None)
+    bias = m.apply(params, None)
+    assert bias.shape == (1, 6, 6)
+    w = np.asarray(params["params"]["w"])
+    b = np.asarray(bias[0])
+    for i in range(6):
+        for j in range(6):
+            assert b[i, j] == w[j - i + 5]
+
+    mt = RelativeBucketedTimeAndPositionBasedBias(max_seq_len=4, num_buckets=8)
+    ts = jnp.asarray(np.array([[10, 20, 40, 80]], dtype=np.int64))
+    p2 = mt.init(jax.random.PRNGKey(0), ts)
+    out = mt.apply(p2, ts)
+    assert out.shape == (1, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hstu_relative_bias_flag(synth_dir):
+    from mhrec_tpu.data import InteractionData
+
+    cfg = make_config(synth_dir, enable_relative_attention_bias=True,
+                      apply_relative_attention_bias=True)
+    data = InteractionData(cfg).build()
+    model = hstu_from_config(cfg, data)
+    from mhrec_tpu.data import build_dataloader
+
+    train, _, _ = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, deterministic=False,
+    )
+    assert "rel_bias_0" in params["params"]
+    out = model.apply(params, batch, deterministic=True)
+    assert np.isfinite(float(out["loss"]))
