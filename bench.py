@@ -71,21 +71,34 @@ def main():
     stream = batcher.infinite_batches(prefetch=2)
     from mhrec_tpu.parallel.mesh import shard_batch
 
-    # warmup (compile)
-    for _ in range(3):
+    # NOTE: block_until_ready on remote-tunneled (axon) arrays can return
+    # before execution completes, so the benchmark forces a data dependency
+    # on every parameter via a checksum fetch and reports the MARGINAL cost
+    # between a short and a long run (cancels warmup + fetch latency).
+    checksum = jax.jit(
+        lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p))
+    )
+
+    def run(n):
+        t0 = time.time()
+        for _ in range(n):
+            batch = shard_batch(trainer.mesh, next(stream))
+            trainer.state, out = trainer._jit_train_step(trainer.state, batch)
+        float(checksum(trainer.state.params))
+        return time.time() - t0
+
+    for _ in range(3):  # compile + warm
         batch = shard_batch(trainer.mesh, next(stream))
         trainer.state, out = trainer._jit_train_step(trainer.state, batch)
-    jax.block_until_ready(out["loss"])
+    float(checksum(trainer.state.params))
 
-    n_steps = int(os.environ.get("BENCH_STEPS", 30))
-    t0 = time.time()
-    for _ in range(n_steps):
-        batch = shard_batch(trainer.mesh, next(stream))
-        trainer.state, out = trainer._jit_train_step(trainer.state, batch)
-    jax.block_until_ready(out["loss"])
-    wall = time.time() - t0
+    n_short = int(os.environ.get("BENCH_STEPS_SHORT", 10))
+    n_long = int(os.environ.get("BENCH_STEPS", 60))
+    t_short = run(n_short)
+    t_long = run(n_long)
+    step_time = (t_long - t_short) / (n_long - n_short)
 
-    examples_per_s = n_steps * batch_size / wall
+    examples_per_s = batch_size / step_time
     per_chip = examples_per_s / n_devices
 
     vs_baseline = 1.0

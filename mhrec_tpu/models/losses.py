@@ -63,7 +63,9 @@ def multi_horizon_nce(
     heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
     tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
 
-    # one negative matmul per *distinct* head (bf16 on the MXU, f32 accum)
+    # one negative matmul per *distinct* head (bf16 on the MXU, f32 accum,
+    # bf16 table storage — the logits are bf16 under the reference's
+    # bf16-mixed autocast too; CE math upcasts to f32 per offset)
     distinct = sorted(set(int(h) for h in head_for_pred))
     neg_T = neg_embs_norm.astype(jnp.bfloat16).T
     raw_neg = {
@@ -72,7 +74,7 @@ def multi_horizon_nce(
             heads_norm[:, h].astype(jnp.bfloat16),
             neg_T,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.bfloat16)
         for h in distinct
     }
     # false-negative table for all offsets at once: tgt[l+1 .. L+P-1] · negᵀ
@@ -81,13 +83,26 @@ def multi_horizon_nce(
         tgt_norm[:, 1:].astype(jnp.bfloat16),
         neg_T,
         preferred_element_type=jnp.float32,
-    )  # [B, L+P-1, M]
+    ).astype(jnp.bfloat16)  # [B, L+P-1, M]
 
     min_val = jnp.finfo(jnp.float32).min
     per_pred_loss = []
-    per_pred_raw = []
     log_dict: Dict[str, jnp.ndarray] = {}
     mask_full = base_mask if extra_mask is None else (base_mask & extra_mask)
+
+    def offset_ce(raw_h, fix, pos_logit, m):
+        # bf16 tables are upcast inside the fused mask+reduce pass; XLA keeps
+        # the [B, L, M] intermediates unmaterialized (measured: remat here is
+        # a net loss, bf16 table reads a net win)
+        neg_logits = jnp.where(fix > nce_thres, min_val,
+                               raw_h.astype(jnp.float32))
+        lse = jnp.logaddexp(
+            pos_logit * scale,
+            jax.scipy.special.logsumexp(neg_logits * scale, axis=-1),
+        )
+        tok_ce = lse - pos_logit * scale              # [B, L]
+        cnt = m.sum()
+        return jnp.sum(tok_ce * m) / jnp.clip(cnt, 1.0, None)
 
     for p in range(P):
         h = int(head_for_pred[p])
@@ -95,21 +110,15 @@ def multi_horizon_nce(
         tgt_p = tgt_norm[:, p + 1 : p + 1 + L]        # [B, L, D]
         pos_logit = jnp.einsum("bld,bld->bl", out_n, tgt_p)  # [B, L]
         fix = tgt_neg[:, p : p + L]                   # [B, L, M]
-        neg_logits = jnp.where(fix > nce_thres, min_val, raw_neg[h])
-        # CE with positive at index 0 == logsumexp([pos|negs]) - pos
-        lse = jnp.logaddexp(
-            pos_logit * scale,
-            jax.scipy.special.logsumexp(neg_logits * scale, axis=-1),
-        )
-        tok_ce = lse - pos_logit * scale              # [B, L]
-
         m = mask_full[:, p].astype(jnp.float32)
-        cnt = m.sum()
-        mean_p = jnp.sum(tok_ce * m) / jnp.clip(cnt, 1.0, None)
-        per_pred_raw.append(mean_p)
+        mean_p = offset_ce(raw_neg[h], fix, pos_logit, m)
         per_pred_loss.append(horizon_discount[p] * loss_weight * mean_p)
 
         if compute_topk_log and p == 0:
+            cnt = m.sum()
+            neg_logits = jax.lax.stop_gradient(
+                jnp.where(fix > nce_thres, min_val, raw_neg[h])
+            )
             n_unmasked = (neg_logits > min_val / 100).sum(axis=-1).astype(jnp.float32) + 1.0
             log_dict["nce_samples"] = jnp.sum(n_unmasked * m) / jnp.clip(cnt, 1.0, None)
             beaten = (neg_logits > pos_logit[:, :, None]).sum(axis=-1)
