@@ -145,6 +145,10 @@ class HSTU(nn.Module):
     share_seg_weights: bool = False
     use_seg_embed: bool = False
     attn_impl: str = "auto"
+    # row-shard the item-embedding table over the named mesh axis (the
+    # reference replicates the full 8M×D nn.Embedding per GPU, hstu.py:413 —
+    # sharding it is what lets corpus-scale tables fit TPU HBM)
+    shard_items_axis: Optional[str] = None
     dtype: Any = jnp.bfloat16
 
     input_type = InputType.SEQ
@@ -174,9 +178,22 @@ class HSTU(nn.Module):
     # ------------------------------------------------------------------
     def setup(self):
         D = self.hstu_embedding_size
+        if self.shard_items_axis:
+            emb_init = nn.with_partitioning(
+                trunc_normal_init, (self.shard_items_axis, None)
+            )
+            # pad rows so the table divides evenly across the axis; pad rows
+            # are never looked up and compute_item_all slices them off
+            import jax as _jax
+
+            mult = _jax.device_count()
+            rows = ((self.item_num + mult - 1) // mult) * mult
+        else:
+            emb_init = trunc_normal_init
+            rows = self.item_num
         self.item_embedding = nn.Embed(
-            self.item_num, self.item_embedding_size,
-            embedding_init=trunc_normal_init, name="item_embedding",
+            rows, self.item_embedding_size,
+            embedding_init=emb_init, name="item_embedding",
         )
         if self.item_embedding_size != D:
             self.item_id_proj_tower = nn.Dense(
@@ -420,7 +437,7 @@ class HSTU(nn.Module):
 
     def compute_item_all(self):
         """Normalized full item-embedding matrix (reference hstu.py:1018-1021)."""
-        w = self.item_embedding.embedding
+        w = self.item_embedding.embedding[: self.item_num]
         if self.item_id_proj_tower is not None:
             w = self.item_id_proj_tower(w)
         return cosine_normalize(w.astype(jnp.float32))
@@ -506,4 +523,5 @@ def hstu_from_config(config, dataload) -> HSTU:
         share_seg_weights=config.get("share_seg_weights", False),
         use_seg_embed=config.get("segment_embed", False),
         attn_impl=config.get("attn_impl", "auto"),
+        shard_items_axis="data" if config.get("shard_item_embedding", False) else None,
     )

@@ -115,14 +115,18 @@ class Trainer:
         base = jax.random.PRNGKey(seed)
         k_param, k_drop, k_mix, k_neg, k_state = jax.random.split(base, 5)
         example = self._example_batch()
-        variables = dict(
-            self.model.init(
-                {"params": k_param, "dropout": k_drop, "mix": k_mix, "neg": k_neg},
-                example,
-                deterministic=False,
-            )
+        import flax.linen as nn
+
+        variables = self.model.init(
+            {"params": k_param, "dropout": k_drop, "mix": k_mix, "neg": k_neg},
+            example,
+            deterministic=False,
         )
+        # partition specs from flax metadata (e.g. the row-sharded item table)
+        pspecs = nn.get_partition_spec(variables)
+        variables = dict(nn.meta.unbox(variables))
         params = variables.pop("params")
+        self._param_pspecs = dict(pspecs).get("params", {})
         # non-trainable collections (e.g. the frozen item-embedding table)
         self.extra_vars = variables
         if "frozen" in self.extra_vars and self.config.get("all_item_embeds_path"):
@@ -131,14 +135,42 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info("Trainable parameters: %d", n_params)
 
-        opt_state = self.tx.init(params)
+        from jax.sharding import NamedSharding, PartitionSpec
+        import jax.tree_util as jtu
+
         rep = replicate(self.mesh)
-        params = jax.device_put(params, rep)
+
+        def spec_for_path(path):
+            node = self._param_pspecs
+            for entry in path:
+                key = getattr(entry, "key", getattr(entry, "idx", None))
+                if isinstance(node, dict) and key in node:
+                    node = node[key]
+                else:
+                    return None
+            return node if isinstance(node, PartitionSpec) else None
+
+        def place(path, param):
+            spec = spec_for_path(path)
+            if spec is not None and any(s is not None for s in spec):
+                return jax.device_put(param, NamedSharding(self.mesh, spec))
+            return jax.device_put(param, rep)
+
+        params = jtu.tree_map_with_path(place, params)
+        # optimizer-state leaves inherit their parameter's sharding (zeros_like
+        # on a sharded array keeps the sharding); ZeRO sharding applies only to
+        # still-replicated leaves
+        opt_state = self.tx.init(params)
         if self.config.get("shard_optimizer_state", True) and self.mesh.devices.size > 1:
             opt_shardings = zero_sharded_opt_state(self.mesh, opt_state)
-            opt_state = jax.tree.map(jax.device_put, opt_state, opt_shardings)
-        else:
-            opt_state = jax.device_put(opt_state, rep)
+
+            def keep_or_zero(leaf, sh):
+                spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+                if spec is not None and any(s is not None for s in spec):
+                    return leaf
+                return jax.device_put(leaf, sh)
+
+            opt_state = jax.tree.map(keep_or_zero, opt_state, opt_shardings)
         self.state = TrainState(
             params=params,
             opt_state=opt_state,

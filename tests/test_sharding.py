@@ -100,3 +100,47 @@ def test_eval_multi_host_striding_parity(synth_dir, tmp_path_factory, devices):
     np.testing.assert_allclose(
         merged, res_single[f"pred_{P}"]["recall@10"], rtol=1e-5, atol=1e-7
     )
+
+
+def test_sharded_item_embedding(synth_dir, tmp_path_factory, devices):
+    """Row-sharded item table: placement, one train step, loss parity with
+    the replicated table."""
+    from jax.sharding import PartitionSpec
+
+    cfg_r = make_config(
+        synth_dir, train_batch_size=16, total_iters=2,
+        checkpoint_dir=str(tmp_path_factory.mktemp("emb_r")),
+    )
+    cfg_s = make_config(
+        synth_dir, train_batch_size=16, total_iters=2,
+        shard_item_embedding=True,
+        checkpoint_dir=str(tmp_path_factory.mktemp("emb_s")),
+    )
+    data = InteractionData(cfg_r).build()
+    train, _, _ = build_dataloader(cfg_r, data)
+    tr = Trainer(cfg_r, data)
+    tr.mesh = make_mesh(devices[:8])
+    tr.setup_model()
+    ts = Trainer(cfg_s, data)
+    ts.mesh = make_mesh(devices[:8])
+    ts.setup_model()
+
+    emb = ts.state.params["item_embedding"]["embedding"]
+    assert emb.sharding.spec == PartitionSpec("data", None)
+    # table rows padded to a multiple of the mesh size
+    assert emb.shape[0] % 8 == 0 and emb.shape[0] >= data.item_num
+    b = next(iter(train.epoch_batches(0)))
+    batch_r = shard_batch(tr.mesh, {k: jnp.asarray(v) for k, v in b.items()})
+    batch_s = shard_batch(ts.mesh, {k: jnp.asarray(v) for k, v in b.items()})
+    tr.state, out_r = tr._jit_train_step(tr.state, batch_r)
+    ts.state, out_s = ts._jit_train_step(ts.state, batch_s)
+    assert np.isfinite(float(out_s["loss"]))
+    # losses are in the same ballpark despite the different init row layout
+    np.testing.assert_allclose(float(out_r["loss"]), float(out_s["loss"]), rtol=0.2)
+    # table stays sharded after the update
+    emb2 = ts.state.params["item_embedding"]["embedding"]
+    assert emb2.sharding.spec == PartitionSpec("data", None)
+    # eval works on the sharded table
+    _, _, test = build_dataloader(cfg_s, data)
+    res = ts.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg_s['eval_pred_len'] - 1}"]
