@@ -512,13 +512,43 @@ class Trainer:
                     user_embs=np.asarray(pe["user_emb"])[:n_real],
                     head_embs=np.asarray(pe["head_embs"])[:n_real],
                 )
-            self.collector.eval_batch_collect(
+            log_this_batch = (
+                bool(self.config.get("log_detailed_results", False))
+                and self.process_index == 0
+            )
+            detailed = self.collector.eval_batch_collect(
                 positive_i=batch["item_target"][:n_real],
                 tag_category=batch["target_tags"][:n_real],
                 outlier_users=batch["outlier_users"][:n_real],
                 topk_values=topk_vals,
                 topk_indices=topk_idx,
+                log_detailed_results=log_this_batch,
             )
+            if log_this_batch and detailed is not None:
+                # per-user recommendation dump with head provenance
+                # (reference trainer.py:999-1015 save_log_dict path)
+                from mhrec_tpu.utils.observability import save_log_dict
+
+                id2item = self.dataload.id2token["item_id"]
+                id2user = self.dataload.id2token["user_id"]
+                detailed["user"] = [
+                    id2user[u] for u in batch["user_ids"][:n_real].tolist()
+                ]
+                detailed["item_tgt"] = [
+                    [id2item[i] for i in row]
+                    for row in batch["item_target"][:n_real].tolist()
+                ]
+                detailed["recommend_items"] = [
+                    [id2item[i] for i in row] for row in detailed.pop("idx")
+                ]
+                detailed.pop("idx_by_head", None)
+                save_log_dict(
+                    os.path.join(
+                        self.saved_model_dir, "detailed",
+                        f"batch_{n_eval_samples:07d}",
+                    ),
+                    detailed,
+                )
             if "switch_correct" in pe:
                 sc = np.asarray(pe["switch_correct"])
                 switch_correct_sum = sc if switch_correct_sum is None else switch_correct_sum + sc

@@ -69,3 +69,42 @@ def test_streamed_chunk_merge_matches_single_chunk(synth_dir, tmp_path_factory):
     small_v, small_i = t2._stream_score_topk(pe, item_feats, item_tags, batch, 10)
     np.testing.assert_allclose(np.asarray(big_v), np.asarray(small_v), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(big_i), np.asarray(small_i))
+
+
+def test_log_detailed_results(synth_dir, tmp_path_factory):
+    import glob
+    import os
+
+    ckpt = str(tmp_path_factory.mktemp("det"))
+    cfg = make_config(
+        synth_dir, total_iters=1, log_detailed_results=True, checkpoint_dir=ckpt,
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.evaluate(test, load_best_model=False)
+    dumps = glob.glob(os.path.join(ckpt, "HSTU", "ckpt", "detailed", "*.npz"))
+    assert dumps
+    from mhrec_tpu.utils.observability import load_log_dict
+
+    back = load_log_dict(dumps[0][:-4])
+    assert "values" in back and "recommend_items" in back
+    assert len(back["recommend_items"][0]) > 0
+
+
+def test_save_for_eval_export(synth_dir, tmp_path_factory):
+    import glob
+    import os
+
+    ckpt = str(tmp_path_factory.mktemp("sfe"))
+    cfg = make_config(synth_dir, total_iters=1, save_for_eval=True, checkpoint_dir=ckpt)
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.evaluate(test, load_best_model=False)
+    chunks = glob.glob(os.path.join(ckpt, "HSTU", "ckpt", "saved_eval", "*.npz"))
+    assert chunks
+    with np.load(chunks[0]) as z:
+        assert "topk_indices" in z and "user_embs" in z
