@@ -1,0 +1,106 @@
+"""Optimizer construction: the reference's four regimes
+(trainer.py:175-299) as one optax factory.
+
+* ``freeze_prefix`` (+ implicit ``item_llm``/``item_emb_tokens`` under
+  ``freeze_item_llm``) — frozen subtrees get zero updates via
+  ``optax.multi_transform`` masking (trainer.py:185-203);
+* modal/recsys split LRs when ``optim_args`` carries
+  ``modal_lr/modal_decay/rec_lr/rec_decay`` — 'visual_encoder' params get the
+  modal group (trainer.py:226-267);
+* ``lr_mult_prefix`` × ``lr_mult_rate`` high-LR groups (trainer.py:270-291);
+* plain AdamW otherwise — FusedAdam's role is played by XLA fusing the
+  update (trainer.py:292-299).
+
+Labels are assigned by dot-joined parameter path prefix, matching the
+reference's ``name.startswith(prefix)`` semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List
+
+import optax
+
+logger = logging.getLogger(__name__)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return ".".join(parts)
+
+
+def _label_tree(params, label_fn):
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(lambda path, _: label_fn(_path_str(path)), params)
+
+
+def build_optimizer(config, schedule_factory, total_iters: int):
+    """Returns (optax transform factory taking params, needs_param_labels).
+
+    ``schedule_factory(lr)`` builds a schedule with the configured
+    warmup/decay shape at base learning rate ``lr``.
+    """
+    optim_args = dict(config["optim_args"] or {})
+    base_lr = float(optim_args.get("learning_rate", 1e-3))
+    wd = float(optim_args.get("weight_decay", 0.0))
+
+    freeze_prefix: List[str] = list(config.get("freeze_prefix", []) or [])
+    if config.get("freeze_item_llm", False):
+        freeze_prefix += ["item_llm", "item_emb_tokens"]
+
+    split_modal = {"modal_lr", "modal_decay", "rec_lr", "rec_decay"} <= set(optim_args)
+    lr_mult_prefix = list(config.get("lr_mult_prefix", []) or [])
+    lr_mult_rate = config.get("lr_mult_rate", None)
+
+    def adamw(lr, weight_decay):
+        return optax.adamw(
+            schedule_factory(lr), b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay,
+        )
+
+    def make(params):
+        transforms: Dict[str, Any] = {}
+        if split_modal:
+            transforms["modal"] = adamw(
+                float(optim_args["modal_lr"]), float(optim_args["modal_decay"])
+            )
+            transforms["rec"] = adamw(
+                float(optim_args["rec_lr"]), float(optim_args["rec_decay"])
+            )
+
+            def label(path: str) -> str:
+                if any(path.startswith(p) for p in freeze_prefix):
+                    return "frozen"
+                return "modal" if "visual_encoder" in path else "rec"
+
+        elif lr_mult_prefix and lr_mult_rate:
+            transforms["normal"] = adamw(base_lr, wd)
+            transforms["high"] = adamw(base_lr * float(lr_mult_rate), wd)
+
+            def label(path: str) -> str:
+                if any(path.startswith(p) for p in freeze_prefix):
+                    return "frozen"
+                if any(path.startswith(p) for p in lr_mult_prefix):
+                    return "high"
+                return "normal"
+
+        else:
+            transforms["normal"] = adamw(base_lr, wd)
+
+            def label(path: str) -> str:
+                if any(path.startswith(p) for p in freeze_prefix):
+                    return "frozen"
+                return "normal"
+
+        if freeze_prefix:
+            transforms["frozen"] = optax.set_to_zero()
+        if len(transforms) == 1:
+            return transforms["normal"]
+        labels = _label_tree(params, label)
+        return optax.multi_transform(transforms, labels)
+
+    return make

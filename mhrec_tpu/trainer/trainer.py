@@ -84,12 +84,14 @@ class Trainer:
         self.schedule = build_schedule(
             config["scheduler_args"], self.learning_rate, self.total_iters
         )
-        tx = optax.adamw(
-            self.schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=self.weight_decay
+        from mhrec_tpu.trainer.optim import build_optimizer
+
+        self._make_tx = build_optimizer(
+            config,
+            lambda lr: build_schedule(config["scheduler_args"], lr, self.total_iters),
+            self.total_iters,
         )
-        if self.accumulate_grad > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad)
-        self.tx = tx
+        self.tx = None  # finalized in setup_model once params exist
 
         self.state: Optional[TrainState] = None
         self.best_valid_score: Optional[float] = None
@@ -157,6 +159,10 @@ class Trainer:
             return jax.device_put(param, rep)
 
         params = jtu.tree_map_with_path(place, params)
+        tx = self._make_tx(params)
+        if self.accumulate_grad > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.accumulate_grad)
+        self.tx = tx
         # optimizer-state leaves inherit their parameter's sharding (zeros_like
         # on a sharded array keeps the sharding); ZeRO sharding applies only to
         # still-replicated leaves

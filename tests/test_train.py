@@ -88,3 +88,58 @@ def test_debug_mode_breaks_early(synth_dir, tmp_path_factory):
     t.setup_model()
     stats = t.fit(train, None)
     assert stats["iters"] == 10
+
+
+def test_freeze_prefix(synth_dir, tmp_path_factory):
+    """freeze_prefix parameters must not change during training."""
+    import jax
+
+    cfg = make_config(
+        synth_dir, total_iters=5, train_batch_size=16,
+        freeze_prefix=["item_embedding"],
+        checkpoint_dir=str(tmp_path_factory.mktemp("fz")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    emb_before = np.asarray(t.state.params["item_embedding"]["embedding"]).copy()
+    pos_before = np.asarray(t.state.params["position_embedding"]["embedding"]).copy()
+    t.fit(train, None)
+    emb_after = np.asarray(t.state.params["item_embedding"]["embedding"])
+    pos_after = np.asarray(t.state.params["position_embedding"]["embedding"])
+    np.testing.assert_array_equal(emb_before, emb_after)
+    assert not np.array_equal(pos_before, pos_after)
+
+
+def test_lr_mult_prefix(synth_dir, tmp_path_factory):
+    cfg = make_config(
+        synth_dir, total_iters=2, train_batch_size=16,
+        lr_mult_prefix=["position_embedding"], lr_mult_rate=10.0,
+        checkpoint_dir=str(tmp_path_factory.mktemp("lm")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+
+
+def test_resume_continues(synth_dir, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("res"))
+    cfg = make_config(synth_dir, total_iters=6, eval_interval=3,
+                      train_batch_size=16, checkpoint_dir=ckpt)
+    data = InteractionData(cfg).build()
+    train, valid, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.fit(train, valid)  # saves checkpoints at evals
+    # new trainer with resume picks up the saved step
+    cfg2 = make_config(synth_dir, total_iters=6, eval_interval=3,
+                       train_batch_size=16, checkpoint_dir=ckpt, resume=True)
+    t2 = Trainer(cfg2, data)
+    t2.setup_model()
+    assert int(t2.state.step) > 0
+    stats = t2.fit(train, None)
+    assert stats["iters"] < 6  # only the remaining steps ran
