@@ -112,6 +112,15 @@ class HLLM(nn.Module):
         def make_llm(cfg: LLMConfig, name):
             if self.dummy_llm:
                 return DummyLLM(cfg.vocab_size, cfg.hidden_size, name=name)
+            if cfg.model_type == "bert":
+                from mhrec_tpu.models.llm.bert import BertBackbone
+
+                return BertBackbone(
+                    cfg, dtype=self.dtype,
+                    gradient_checkpointing=self.gradient_checkpointing, name=name,
+                )
+            # llama / mistral / qwen2 / tinyllama / baichuan share the
+            # decoder topology (RMSNorm + RoPE + GQA + SwiGLU)
             return LlamaBackbone(
                 cfg, dtype=self.dtype,
                 gradient_checkpointing=self.gradient_checkpointing, name=name,
@@ -296,6 +305,35 @@ class HLLM(nn.Module):
         return HSTU.score_items(
             self, head_embs, item_feats, item_tags, target_tags, switch_pred
         )
+
+
+def load_pretrained_towers(params, config):
+    """Merge local HF checkpoint weights into the item/user towers
+    (reference create_llm from_pretrained, hllm.py:294-376). Returns the
+    updated params dict; towers with ``*_llm_init: false`` or without local
+    weights keep their random init."""
+    import os
+
+    from mhrec_tpu.models.llm.config import LLMConfig
+    from mhrec_tpu.models.llm.loader import load_llama_params
+
+    for key, dir_key, init_key in (
+        ("item_llm", "item_pretrain_dir", "item_llm_init"),
+        ("user_llm", "user_pretrain_dir", "user_llm_init"),
+    ):
+        path = config.get(dir_key)
+        if key not in params or not path or not os.path.isdir(str(path)):
+            continue
+        if config.get(init_key, True) is False:
+            continue
+        cfg = LLMConfig.from_pretrained_dir(path)
+        if cfg.model_type == "bert":
+            continue  # bert checkpoint mapping lands with the bert loader
+        try:
+            params[key] = load_llama_params(path, cfg)
+        except FileNotFoundError:
+            pass
+    return params
 
 
 def hllm_from_config(config, dataload) -> HLLM:

@@ -129,6 +129,10 @@ class Trainer:
         variables = dict(nn.meta.unbox(variables))
         params = variables.pop("params")
         self._param_pspecs = dict(pspecs).get("params", {})
+        if str(self.config["model"]) == "HLLM" and not self.config.get("dummy_llm", False):
+            from mhrec_tpu.models.hllm.hllm import load_pretrained_towers
+
+            params = load_pretrained_towers(dict(params), self.config)
         # non-trainable collections (e.g. the frozen item-embedding table)
         self.extra_vars = variables
         if "frozen" in self.extra_vars and self.config.get("all_item_embeds_path"):

@@ -189,3 +189,92 @@ def test_llmidrec_smoke(synth_dir, tmp_path_factory):
     t.fit(train, None)
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def _write_tiny_llama_ckpt(dirpath, vocab=64, hidden=32, layers=2, heads=4, kv=2):
+    import torch
+
+    inter = hidden * 2
+    dh = hidden // heads
+    sd = {}
+    gen = torch.Generator().manual_seed(1)
+    sd["model.embed_tokens.weight"] = torch.randn(vocab, hidden, generator=gen) * 0.02
+    sd["model.norm.weight"] = torch.ones(hidden)
+    for i in range(layers):
+        p = f"model.layers.{i}"
+        sd[f"{p}.self_attn.q_proj.weight"] = torch.randn(heads * dh, hidden, generator=gen) * 0.05
+        sd[f"{p}.self_attn.k_proj.weight"] = torch.randn(kv * dh, hidden, generator=gen) * 0.05
+        sd[f"{p}.self_attn.v_proj.weight"] = torch.randn(kv * dh, hidden, generator=gen) * 0.05
+        sd[f"{p}.self_attn.o_proj.weight"] = torch.randn(hidden, hidden, generator=gen) * 0.05
+        sd[f"{p}.mlp.gate_proj.weight"] = torch.randn(inter, hidden, generator=gen) * 0.05
+        sd[f"{p}.mlp.up_proj.weight"] = torch.randn(inter, hidden, generator=gen) * 0.05
+        sd[f"{p}.mlp.down_proj.weight"] = torch.randn(hidden, inter, generator=gen) * 0.05
+        sd[f"{p}.input_layernorm.weight"] = torch.ones(hidden)
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.ones(hidden)
+    import torch as _t
+
+    _t.save(sd, os.path.join(dirpath, "pytorch_model.bin"))
+    with open(os.path.join(dirpath, "config.json"), "w") as fh:
+        json.dump(
+            {
+                "model_type": "llama", "vocab_size": vocab, "hidden_size": hidden,
+                "intermediate_size": inter, "num_hidden_layers": layers,
+                "num_attention_heads": heads, "num_key_value_heads": kv,
+                "rms_norm_eps": 1e-5,
+            },
+            fh,
+        )
+
+
+def test_hllm_real_llama_towers_with_pretrained(synth_dir, tmp_path_factory, tmp_path):
+    """Real (tiny) Llama towers + HF weight loading end to end."""
+    ckpt_dir = str(tmp_path / "tiny_llama")
+    os.makedirs(ckpt_dir)
+    _write_tiny_llama_ckpt(ckpt_dir)
+    cfg = _hllm_config(
+        synth_dir, tmp_path_factory,
+        dummy_llm=False, item_pretrain_dir=ckpt_dir, user_pretrain_dir=ckpt_dir,
+        total_iters=2,
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    # pretrained weights actually landed in the params
+    import torch
+
+    sd = torch.load(os.path.join(ckpt_dir, "pytorch_model.bin"), weights_only=True)
+    np.testing.assert_allclose(
+        np.asarray(t.state.params["item_llm"]["embed_tokens"]["embedding"]),
+        sd["model.embed_tokens.weight"].numpy(), rtol=1e-6,
+    )
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def test_hllm_bert_tower(synth_dir, tmp_path_factory, tmp_path):
+    ckpt_dir = str(tmp_path / "tiny_bert")
+    os.makedirs(ckpt_dir)
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as fh:
+        json.dump(
+            {
+                "model_type": "bert", "vocab_size": 64, "hidden_size": 32,
+                "intermediate_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "max_position_embeddings": 64,
+                "layer_norm_eps": 1e-12,
+            },
+            fh,
+        )
+    cfg = _hllm_config(
+        synth_dir, tmp_path_factory,
+        dummy_llm=False, item_pretrain_dir=ckpt_dir, user_pretrain_dir=ckpt_dir,
+        total_iters=1,
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 1
