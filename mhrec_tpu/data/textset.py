@@ -119,7 +119,14 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
 
     def __init__(self, config, dataload, **kw):
         super().__init__(config, dataload, **kw)
+        if config.get("use_image", False):
+            raise NotImplementedError(
+                "Image item towers (Qwen2-VL / LLaVA branches of the reference, "
+                "trainset.py:386-471) are not implemented yet; text towers only."
+            )
         self.freeze_item_llm = bool(config.get("freeze_item_llm", False))
+        self.packed_item_tower = bool(config.get("packed_item_tower", False))
+        self.pack_bucket = int(config.get("pack_bucket", 2048))
         self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
         tokenizer = build_tokenizer(
             config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
@@ -133,12 +140,18 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         batch = super().make_batch(rng, loc_idx)
         if self.freeze_item_llm:
             return batch
-        batch["pos_tokens"], batch["pos_token_lens"] = self.text_cache.batch(
-            batch["items"].ravel()
-        )
-        batch["neg_tokens"], batch["neg_token_lens"] = self.text_cache.batch(
-            batch["neg_items"].ravel()
-        )
+        pos_tokens, pos_lens = self.text_cache.batch(batch["items"].ravel())
+        neg_tokens, neg_lens = self.text_cache.batch(batch["neg_items"].ravel())
+        if self.packed_item_tower:
+            from mhrec_tpu.models.llm.packed import pack_items
+
+            all_tokens = np.concatenate([pos_tokens, neg_tokens], axis=0)
+            all_lens = np.concatenate([pos_lens, neg_lens])
+            batch.update(pack_items(all_tokens, all_lens, bucket=self.pack_bucket))
+            batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
+        else:
+            batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
+            batch["neg_tokens"], batch["neg_token_lens"] = neg_tokens, neg_lens
         return batch
 
 

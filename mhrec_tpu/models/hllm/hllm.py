@@ -48,6 +48,7 @@ class HLLM(nn.Module):
     pred_len: int
     dummy_llm: bool = False
     freeze_item_llm: bool = False
+    packed_item_tower: bool = False
     item_num: int = 0              # needed for the frozen-table variable
     item_emb_token_n: int = 1
     gradient_checkpointing: bool = False
@@ -248,6 +249,23 @@ class HLLM(nn.Module):
             )
         return emb.astype(jnp.float32)
 
+    def encode_items_packed(self, packed_tokens, segment_ids, positions, emb_slots):
+        """Packed varlen item tower: flat token stream + segment ids
+        (TPU equivalent of the reference's rm-pad flash-attn path).
+
+        packed_tokens/segment_ids/positions: [S]; emb_slots: [N] flat index
+        of each item's trailing emb slot. → [N, D_item].
+        """
+        assert self.item_emb_token_n > 0, "packed mode uses the emb-token slot"
+        hidden = self.item_llm(
+            input_ids=packed_tokens[None],
+            position_ids=positions[None],
+            segment_ids=segment_ids,
+            emb_tokens=self.item_emb_tokens,
+            emb_pos=emb_slots,
+        )[0]  # [S, D]
+        return hidden[emb_slots].astype(jnp.float32)
+
     def compute_item_chunk(self, tokens, lens):
         """Corpus-embedding pass chunk (reference compute_item)."""
         return self.encode_items(tokens, lens)
@@ -264,6 +282,22 @@ class HLLM(nn.Module):
             def _neg_norm(col):
                 neg = table[batch["neg_items"][:, col]]
                 return cosine_normalize(neg.astype(jnp.float32)).reshape(-1, neg.shape[-1])
+        elif self.packed_item_tower:
+            B, W = batch["items"].shape
+            all_embs = self.encode_items_packed(
+                batch["packed_tokens"], batch["packed_segment_ids"],
+                batch["packed_positions"], batch["emb_slots"],
+            )
+            n_pos = B * W
+            pos_items_embs = all_embs[:n_pos].reshape(B, W, -1)
+            n_cats = batch["neg_items"].shape[1]
+            neg_embs = all_embs[n_pos:].reshape(
+                B, n_cats, -1, pos_items_embs.shape[-1]
+            )
+
+            def _neg_norm(col):
+                neg = neg_embs[:, col]
+                return cosine_normalize(neg).reshape(-1, neg.shape[-1])
         else:
             B, W = batch["items"].shape
             pos_items_embs = self.encode_items(
@@ -370,6 +404,7 @@ def hllm_from_config(config, dataload) -> HLLM:
         pred_len=config["pred_len"],
         dummy_llm=dummy,
         freeze_item_llm=bool(config.get("freeze_item_llm", False)),
+        packed_item_tower=bool(config.get("packed_item_tower", False)),
         item_num=dataload.item_num,
         item_emb_token_n=config.get("item_emb_token_n", 1) or 0,
         gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),

@@ -24,6 +24,7 @@ class DummyLLM(nn.Module):
         causal: bool = True,
         emb_tokens=None,
         emb_pos=None,
+        segment_ids=None,
     ) -> jnp.ndarray:
         if input_ids is not None:
             assert inputs_embeds is None

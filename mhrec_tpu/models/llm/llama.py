@@ -65,7 +65,7 @@ class LlamaAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask_bias, cos, sin):
+    def __call__(self, x, mask_bias, cos, sin, segment_ids=None):
         c = self.config
         B, T, D = x.shape
         h, hk = c.num_attention_heads, c.num_key_value_heads
@@ -83,10 +83,18 @@ class LlamaAttention(nn.Module):
             rep = h // hk
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)
-        scores = scores.astype(jnp.float32) + mask_bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
+        if segment_ids is not None:
+            # packed varlen batch: causal-within-segment attention
+            # (reference flash_attn_varlen path, flash_self_attn.py:61-130)
+            from mhrec_tpu.models.llm.packed import packed_attention
+
+            ctx = packed_attention(q[0], k[0], v[0], segment_ids)[None]
+            ctx = ctx.reshape(B, T, D)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)
+            scores = scores.astype(jnp.float32) + mask_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
         return nn.DenseGeneral(
             D, axis=-1, use_bias=False, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.02), name="o_proj",
@@ -115,10 +123,10 @@ class LlamaLayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask_bias, cos, sin):
+    def __call__(self, x, mask_bias, cos, sin, segment_ids=None):
         h = RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x)
         x = x + LlamaAttention(self.config, self.dtype, name="self_attn")(
-            h, mask_bias, cos, sin
+            h, mask_bias, cos, sin, segment_ids
         )
         h = RMSNorm(self.config.rms_norm_eps, name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.config, self.dtype, name="mlp")(h)
@@ -143,6 +151,7 @@ class LlamaBackbone(nn.Module):
         causal: bool = True,
         emb_tokens: Optional[jnp.ndarray] = None,  # [1, 1, D] learnable slot
         emb_pos: Optional[jnp.ndarray] = None,     # [B] slot index per row
+        segment_ids: Optional[jnp.ndarray] = None,  # [S] packed varlen mode
     ) -> jnp.ndarray:
         c = self.config
         if inputs_embeds is None:
@@ -155,26 +164,31 @@ class LlamaBackbone(nn.Module):
             inputs_embeds = embed(input_ids)
         if emb_tokens is not None and emb_pos is not None:
             # scatter the learnable item-embedding token into each row's slot
-            # (reference modeling_llama.py:1220-1228)
+            # (reference modeling_llama.py:1220-1228); in packed mode emb_pos
+            # lists MANY slots within the single flat row
             T = inputs_embeds.shape[1]
             onehot = jax.nn.one_hot(emb_pos, T, dtype=inputs_embeds.dtype)
+            if onehot.shape[0] != inputs_embeds.shape[0]:
+                onehot = onehot.sum(axis=0, keepdims=True)
             inputs_embeds = (
                 inputs_embeds * (1.0 - onehot[..., None])
                 + onehot[..., None] * emb_tokens.reshape(1, 1, -1)
             )
         x = inputs_embeds.astype(self.dtype)
         B, T, _ = x.shape
-        if attention_mask is None:
-            attention_mask = jnp.ones((B, T), jnp.int32)
+        if segment_ids is not None:
+            mask_bias = None  # packed attention masks internally
+        else:
+            if attention_mask is None:
+                attention_mask = jnp.ones((B, T), jnp.int32)
+            keep = attention_mask.astype(bool)
+            mask = keep[:, None, None, :]
+            if causal:
+                tri = jnp.tril(jnp.ones((T, T), bool))
+                mask = mask & tri[None, None]
+            mask_bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-
-        keep = attention_mask.astype(bool)
-        mask = keep[:, None, None, :]
-        if causal:
-            tri = jnp.tril(jnp.ones((T, T), bool))
-            mask = mask & tri[None, None]
-        mask_bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
 
         dh = c.hidden_size // c.num_attention_heads
         cos, sin = rotary_embedding(position_ids, dh, c.rope_theta)
@@ -183,5 +197,7 @@ class LlamaBackbone(nn.Module):
         if self.gradient_checkpointing:
             layer_cls = nn.remat(LlamaLayer, static_argnums=())
         for i in range(c.num_hidden_layers):
-            x = layer_cls(c, self.dtype, name=f"layers_{i}")(x, mask_bias, cos, sin)
+            x = layer_cls(c, self.dtype, name=f"layers_{i}")(
+                x, mask_bias, cos, sin, segment_ids
+            )
         return RMSNorm(c.rms_norm_eps, name="norm")(x)

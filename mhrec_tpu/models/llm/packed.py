@@ -1,0 +1,99 @@
+"""Packed (varlen) attention for the item tower.
+
+TPU counterpart of the reference's flash-attn varlen path
+(``flash_self_attn.py``: cu_seqlens packing removes pad compute for
+wildly-varying item-text lengths). Items are concatenated into one flat
+token stream with **segment ids**; attention is causal *within* each segment
+and zero across segments — exactly ``flash_attn_varlen`` semantics.
+
+Two implementations:
+* ``packed_attention_dense`` — [S, S] mask built from segment ids; correct
+  everywhere (CPU tests), O(S²) memory;
+* ``packed_attention_splash`` — the Pallas splash-attention kernel with
+  ``SegmentIds`` (TPU only), linear memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def packed_attention_dense(q, k, v, segment_ids):
+    """q/k/v: [S, H, dh]; segment_ids: [S] (0 = padding). → [S, H, dh]."""
+    S = q.shape[0]
+    dh = q.shape[-1]
+    same = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids > 0)[None, :]
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = same & causal
+    scores = jnp.einsum("shd,thd->hst", q, k) / np.sqrt(dh)
+    scores = jnp.where(mask[None], scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("hst,thd->shd", probs, v)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _splash_call(q, k, v, segment_ids):
+    from jax.experimental.pallas.ops.tpu import splash_attention as sa
+
+    H, S, dh = q.shape
+    mask = sa.MultiHeadMask([sa.CausalMask((S, S)) for _ in range(H)])
+    kernel = sa.make_splash_mha_single_device(mask=mask)
+    seg = sa.SegmentIds(q=segment_ids, kv=segment_ids)
+    return kernel(q, k, v, segment_ids=seg)
+
+
+def packed_attention_splash(q, k, v, segment_ids):
+    """q/k/v: [S, H, dh] → [S, H, dh] via the splash kernel (TPU)."""
+    dh = q.shape[-1]
+    scale = 1.0 / np.sqrt(dh)
+    qt = (q * scale).transpose(1, 0, 2)  # [H, S, dh]
+    kt = k.transpose(1, 0, 2)
+    vt = v.transpose(1, 0, 2)
+    out = _splash_call(qt, kt, vt, segment_ids)
+    return out.transpose(1, 0, 2)
+
+
+def packed_attention(q, k, v, segment_ids, impl: str = "auto"):
+    if impl == "splash" or (
+        impl == "auto" and jax.devices()[0].platform == "tpu"
+    ):
+        return packed_attention_splash(q, k, v, segment_ids)
+    return packed_attention_dense(q, k, v, segment_ids)
+
+
+def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048):
+    """Host-side packing: padded [N, T] token rows (+1 emb slot per item)
+    → flat stream.
+
+    Returns dict with packed_tokens [S], segment_ids [S] (1-based, 0 = pad),
+    positions [S] (within-segment), emb_slots [N] (flat index of each item's
+    trailing emb-token slot). S is rounded up to a multiple of ``bucket`` to
+    bound recompilation.
+    """
+    N = len(lens)
+    seg_lens = lens + 1  # +1 trailing emb slot
+    total = int(seg_lens.sum())
+    S = ((total + bucket - 1) // bucket) * bucket
+    packed = np.zeros(S, dtype=np.int32)
+    seg = np.zeros(S, dtype=np.int32)
+    pos = np.zeros(S, dtype=np.int32)
+    emb_slots = np.zeros(N, dtype=np.int32)
+    off = 0
+    for i in range(N):
+        n = int(lens[i])
+        packed[off : off + n] = tokens[i, :n]
+        seg[off : off + n + 1] = i + 1
+        pos[off : off + n + 1] = np.arange(n + 1)
+        emb_slots[i] = off + n
+        off += n + 1
+    return {
+        "packed_tokens": packed,
+        "packed_segment_ids": seg,
+        "packed_positions": pos,
+        "emb_slots": emb_slots,
+    }

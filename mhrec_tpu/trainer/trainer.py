@@ -224,10 +224,20 @@ class Trainer:
         }
         if str(c["model"]) == "HLLM" and not c.get("freeze_item_llm", False):
             T = int(c.get("MAX_TEXT_LENGTH", 64)) + 1
-            batch["pos_tokens"] = jnp.ones((B * (L + P), T), jnp.int32)
-            batch["pos_token_lens"] = jnp.full((B * (L + P),), 2, jnp.int32)
-            batch["neg_tokens"] = jnp.ones((B * n_cats * K, T), jnp.int32)
-            batch["neg_token_lens"] = jnp.full((B * n_cats * K,), 2, jnp.int32)
+            if c.get("packed_item_tower", False):
+                n_items = B * (L + P) + B * n_cats * K
+                bucket = int(c.get("pack_bucket", 2048))
+                S = ((n_items * 3 + bucket - 1) // bucket) * bucket
+                batch["packed_tokens"] = jnp.ones((S,), jnp.int32)
+                batch["packed_segment_ids"] = jnp.ones((S,), jnp.int32)
+                batch["packed_positions"] = jnp.zeros((S,), jnp.int32)
+                batch["emb_slots"] = jnp.arange(n_items, dtype=jnp.int32) * 2 + 1
+                batch["n_pos_items"] = jnp.asarray(B * (L + P), jnp.int32)
+            else:
+                batch["pos_tokens"] = jnp.ones((B * (L + P), T), jnp.int32)
+                batch["pos_token_lens"] = jnp.full((B * (L + P),), 2, jnp.int32)
+                batch["neg_tokens"] = jnp.ones((B * n_cats * K, T), jnp.int32)
+                batch["neg_token_lens"] = jnp.full((B * n_cats * K,), 2, jnp.int32)
         return batch
 
     def _build_train_step(self):

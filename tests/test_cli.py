@@ -1,0 +1,47 @@
+"""run.py CLI end-to-end (subprocess, CPU backend)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def test_run_cli_end_to_end(synth_dir, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from mhrec_tpu.run import main; main()"
+    )
+    args = [
+        sys.executable, "-c", code,
+        "--config_file", "IDNet/hstu-size1.yaml", "overall/ID.yaml", "IDNet/hstu.yaml",
+        "--",
+        "--data_path", synth_dir["data_path"],
+        "--dataset", synth_dir["name"],
+        "--text_path", synth_dir["text_path"],
+        "--MAX_ITEM_LIST_LENGTH", "12",
+        "--train_batch_size", "8",
+        "--eval_batch_size", "32",
+        "--num_negatives", "64",
+        "--n_layers", "1",
+        "--n_heads", "2",
+        "--item_embedding_size", "16",
+        "--hstu_embedding_size", "16",
+        "--total_iters", "3",
+        "--eval_interval", "100",
+        "--eval_pred_len", "2",
+        "--pred_len", "1",
+        "--topk", "[5,10]",
+        "--tag_version", "v1",
+        "--checkpoint_dir", str(tmp_path),
+    ]
+    proc = subprocess.run(
+        args, env=env, capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "recall@10" in (proc.stdout + proc.stderr)

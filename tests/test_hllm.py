@@ -278,3 +278,81 @@ def test_hllm_bert_tower(synth_dir, tmp_path_factory, tmp_path):
     t.setup_model()
     stats = t.fit(train, None)
     assert stats["iters"] == 1
+
+
+def test_packed_attention_matches_padded():
+    """Dense packed attention == per-row padded attention."""
+    from mhrec_tpu.models.llm.packed import pack_items, packed_attention_dense
+
+    rng = np.random.default_rng(0)
+    N, T, H, dh = 5, 9, 2, 8
+    lens = np.array([3, 7, 1, 5, 8], dtype=np.int32)
+    tokens = np.zeros((N, T + 1), np.int32)
+    for i, l in enumerate(lens):
+        tokens[i, :l] = rng.integers(1, 50, size=l)
+    packed = pack_items(tokens, lens, bucket=16)
+    S = packed["packed_tokens"].shape[0]
+    qkv = rng.normal(size=(3, S, H, dh)).astype(np.float32)
+    out = np.asarray(
+        packed_attention_dense(*(jnp.asarray(x) for x in qkv),
+                               jnp.asarray(packed["packed_segment_ids"]))
+    )
+    # manual per-segment causal attention
+    seg = packed["packed_segment_ids"]
+    for s_id in range(1, N + 1):
+        idx = np.where(seg == s_id)[0]
+        q, k, v = qkv[0][idx], qkv[1][idx], qkv[2][idx]
+        for h in range(H):
+            scores = q[:, h] @ k[:, h].T / np.sqrt(dh)
+            L = len(idx)
+            mask = np.tril(np.ones((L, L), bool))
+            scores = np.where(mask, scores, -1e30)
+            p = np.exp(scores - scores.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            expected = p @ v[:, h]
+            np.testing.assert_allclose(out[idx, h], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_hllm_packed_item_tower_matches_padded(synth_dir, tmp_path_factory, tmp_path):
+    """encode_items (padded) and encode_items_packed produce the same item
+    embeddings for the same texts."""
+    ckpt_dir = str(tmp_path / "tiny_llama_pk")
+    os.makedirs(ckpt_dir)
+    _write_tiny_llama_ckpt(ckpt_dir)
+    cfg = _hllm_config(
+        synth_dir, tmp_path_factory,
+        dummy_llm=False, item_pretrain_dir=ckpt_dir, user_pretrain_dir=ckpt_dir,
+        packed_item_tower=True, pack_bucket=256, total_iters=1,
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    assert "packed_tokens" in b
+
+    t = Trainer(cfg, data)
+    t.setup_model()
+    variables = {"params": t.state.params, **t.extra_vars}
+    model = t.model
+
+    packed_embs = model.apply(
+        variables,
+        jnp.asarray(b["packed_tokens"]), jnp.asarray(b["packed_segment_ids"]),
+        jnp.asarray(b["packed_positions"]), jnp.asarray(b["emb_slots"]),
+        method="encode_items_packed",
+    )
+    # padded reference for the same items
+    from mhrec_tpu.data.textset import ItemTextCache, build_tokenizer
+
+    all_ids = np.concatenate([b["items"].ravel(), b["neg_items"].ravel()])
+    cache = train.text_cache
+    tokens, lens = cache.batch(all_ids)
+    padded_embs = model.apply(
+        variables, jnp.asarray(tokens), jnp.asarray(lens), method="encode_items"
+    )
+    np.testing.assert_allclose(
+        np.asarray(packed_embs), np.asarray(padded_embs), rtol=2e-2, atol=2e-2
+    )
+
+    # full train step in packed mode
+    stats = t.fit(train, None)
+    assert stats["iters"] == 1
