@@ -53,6 +53,10 @@ def main():
             loss="nce",
             total_iters=100,
             seed=2020,
+            # row-sparse AdamW on the item table (trainer/sparse_adam.py):
+            # dense moments traffic over the corpus-scale table would
+            # otherwise dominate the step
+            sparse_item_adam=os.environ.get("BENCH_DENSE_ADAM") is None,
         ),
     ).finalize()
 

@@ -64,6 +64,19 @@ class SEQTrainBatcher:
         self.length = len(self.locations)
         self.seed = int(config["seed"] or 0)
 
+        # sparse item-table updates: remap item ids in the batch to local
+        # indices into a per-batch unique-id sub-table (the trainer then
+        # gathers/updates only the touched rows — the reference's dense
+        # FusedAdam over the whole nn.Embedding has no equivalent trick)
+        self.sparse_item_table = bool(config.get("sparse_item_adam", False))
+        if self.sparse_item_table:
+            n_ids = self.batch_size * self.window_len
+            n_ids += self.batch_size * self.num_negatives * (
+                (self.eval_num_cats + 1) if self.neg_sample_by_cat else 1
+            )
+            # +1 for the forced pad id 0; round up to bound recompiles
+            self.unique_cap = ((n_ids + 1 + 511) // 512) * 512
+
         if self.category_by == "user" and self.return_tag_mask:
             n_clusters = max(dataload.category_to_int.values()) + 1
             self.one_hot_user_cluster = np.eye(n_clusters, dtype=np.int8)[
@@ -143,6 +156,27 @@ class SEQTrainBatcher:
                 batch["tag_categories"] = onehot
         else:
             batch["tag_categories"] = np.zeros((B, 0, 0), dtype=np.int8)
+
+        if self.sparse_item_table:
+            # AFTER all global-id lookups (tags above): remap items/neg_items
+            # to local indices into the per-batch unique sub-table. Index 0 is
+            # always the pad item (id 0), so pad checks (== 0) keep working.
+            all_ids = np.concatenate(
+                [[0], batch["items"].ravel(), batch["neg_items"].ravel()]
+            )
+            uniq = np.unique(all_ids)  # sorted, uniq[0] == 0
+            n = len(uniq)
+            assert n <= self.unique_cap, (n, self.unique_cap)
+            ids = np.zeros(self.unique_cap, np.int32)
+            ids[:n] = uniq
+            mask = np.zeros(self.unique_cap, np.float32)
+            mask[:n] = 1.0
+            batch["unique_ids"] = ids
+            batch["unique_mask"] = mask
+            batch["items"] = np.searchsorted(uniq, batch["items"]).astype(np.int32)
+            batch["neg_items"] = np.searchsorted(uniq, batch["neg_items"]).astype(
+                np.int32
+            )
         return batch
 
     # ------------------------------------------------------------------

@@ -51,6 +51,10 @@ def build_optimizer(config, schedule_factory, total_iters: int):
     freeze_prefix: List[str] = list(config.get("freeze_prefix", []) or [])
     if config.get("freeze_item_llm", False):
         freeze_prefix += ["item_llm", "item_emb_tokens"]
+    if config.get("sparse_item_adam", False):
+        # the table is updated row-wise by the trainer's sparse AdamW path
+        # (trainer/sparse_adam.py); mask it here so no dense moments exist
+        freeze_prefix += ["item_embedding"]
 
     split_modal = {"modal_lr", "modal_decay", "rec_lr", "rec_decay"} <= set(optim_args)
     lr_mult_prefix = list(config.get("lr_mult_prefix", []) or [])

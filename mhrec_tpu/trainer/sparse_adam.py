@@ -1,0 +1,64 @@
+"""Row-sparse (lazy) AdamW for the item-embedding table.
+
+The gradient of an embedding lookup touches only the rows gathered in the
+batch, but a dense optimizer still streams the full [N, D] parameter plus
+both Adam moments through HBM every step — for a corpus-scale table that
+traffic dominates the train step (the reference pays it too: DeepSpeed
+FusedAdam over a replicated ``nn.Embedding``, trainer.py:292-295).
+
+Here the trainer differentiates w.r.t. a per-batch gathered sub-table
+(``[U, D]`` unique rows) and this module applies the AdamW update to ONLY
+those rows via scatter-add, with moments stored dense but touched row-wise.
+Untouched rows receive no update — standard LazyAdam semantics (moments of
+idle rows do not decay, and decoupled weight decay applies only on touch);
+with ``weight_decay=0`` a single step is bit-identical to dense AdamW.
+
+All scatter updates use ``.at[ids].add(delta * mask)``: padding slots of the
+unique-id buffer alias row 0 with ``mask == 0``, so duplicates contribute
+zero and the update stays deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class SparseAdamConfig(NamedTuple):
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+
+def sparse_adamw_row_update(
+    table: jnp.ndarray,       # [N, D] full parameter table
+    m: jnp.ndarray,           # [N, D] first moment
+    v: jnp.ndarray,           # [N, D] second moment
+    ids: jnp.ndarray,         # [U] int32 unique row ids (pad slots alias id 0)
+    mask: jnp.ndarray,        # [U] float 1.0 for real entries, 0.0 for pads
+    grad_rows: jnp.ndarray,   # [U, D] gradient w.r.t. the gathered rows
+    lr,                       # scalar learning rate for this step
+    step_count,               # scalar: number of COMPLETED updates (0-based)
+    cfg: SparseAdamConfig,
+):
+    """Returns (table, m, v) with only the ``ids`` rows advanced one AdamW
+    step (optax.adamw formula: update = mhat / (sqrt(vhat) + eps) + wd * p,
+    scaled by -lr; bias correction from the global step count)."""
+    colmask = mask[:, None]
+    g = grad_rows.astype(jnp.float32) * colmask
+    m_old = m[ids]
+    v_old = v[ids]
+    p_old = table[ids]
+    m_new = cfg.b1 * m_old + (1.0 - cfg.b1) * g
+    v_new = cfg.b2 * v_old + (1.0 - cfg.b2) * (g * g)
+    t = (step_count + 1).astype(jnp.float32)
+    mhat = m_new / (1.0 - jnp.power(cfg.b1, t))
+    vhat = v_new / (1.0 - jnp.power(cfg.b2, t))
+    direction = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.weight_decay * p_old
+    delta_p = (-lr * direction) * colmask
+    table = table.at[ids].add(delta_p.astype(table.dtype))
+    m = m.at[ids].add((m_new - m_old) * colmask)
+    v = v.at[ids].add((v_new - v_old) * colmask)
+    return table, m, v

@@ -53,6 +53,10 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
+    # dense Adam moments of the item-embedding table, present only under
+    # sparse_item_adam (rows touched per step; see trainer/sparse_adam.py)
+    table_m: Any = None
+    table_v: Any = None
 
 
 class Trainer:
@@ -78,6 +82,21 @@ class Trainer:
         self.valid_metric = config["valid_metric"]
         self.valid_metric_bigger = bool(config["valid_metric_bigger"])
         self.debug = bool(config.get("debug", False))
+        self.sparse_item_adam = bool(config.get("sparse_item_adam", False))
+        if self.sparse_item_adam:
+            if str(config["model"]) != "HSTU":
+                raise ValueError(
+                    "sparse_item_adam currently supports the HSTU model only"
+                )
+            if self.accumulate_grad > 1:
+                raise ValueError(
+                    "sparse_item_adam is incompatible with accumulate_grad > 1"
+                )
+            if jax.process_count() > 1:
+                # per-host unique-id lists can overlap, which would apply the
+                # nonlinear Adam row update twice for the same row; exact
+                # semantics need a global dedup (future work)
+                raise ValueError("sparse_item_adam requires a single process")
         self.suppress_history = config.get("suppress_history", True)
         self.item_chunk_size = int(config.get("eval_item_chunk_size", 131072))
 
@@ -181,11 +200,18 @@ class Trainer:
                 return jax.device_put(leaf, sh)
 
             opt_state = jax.tree.map(keep_or_zero, opt_state, opt_shardings)
+        table_m = table_v = None
+        if self.sparse_item_adam:
+            table = params["item_embedding"]["embedding"]
+            table_m = jnp.zeros_like(table, dtype=jnp.float32)
+            table_v = jnp.zeros_like(table, dtype=jnp.float32)
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
             step=jnp.asarray(0, jnp.int32),
             rng=k_state,
+            table_m=table_m,
+            table_v=table_v,
         )
         self._build_train_step()
         # resume (reference trainer.py:342-369): load_checkpoint_name points
@@ -243,27 +269,79 @@ class Trainer:
     def _build_train_step(self):
         model, tx = self.model, self.tx
 
-        def train_step(state: TrainState, batch, extra_vars):
-            rng = jax.random.fold_in(state.rng, state.step)
-            drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
-            batch = dict(batch, step=state.step)  # e.g. DualVAE KL annealing
-
-            def loss_fn(params):
-                out = model.apply(
-                    {"params": params, **extra_vars},
-                    batch,
-                    deterministic=False,
-                    rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
-                )
-                return out["loss"], out
-
-            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=params, opt_state=opt_state, step=state.step + 1
+        if self.sparse_item_adam:
+            from mhrec_tpu.trainer.sparse_adam import (
+                SparseAdamConfig, sparse_adamw_row_update,
             )
-            return new_state, out
+
+            sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
+            schedule = self.schedule
+
+            def train_step(state: TrainState, batch, extra_vars):
+                rng = jax.random.fold_in(state.rng, state.step)
+                drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
+                ids = batch.pop("unique_ids")
+                umask = batch.pop("unique_mask")
+                batch = dict(batch, step=state.step)
+                table = state.params["item_embedding"]["embedding"]
+                sub0 = table[ids]
+
+                def loss_fn(params, sub):
+                    out = model.apply(
+                        {"params": params, **extra_vars},
+                        dict(batch, sub_table=sub),
+                        deterministic=False,
+                        rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
+                    )
+                    return out["loss"], out
+
+                # the table leaf inside params is unused (lookups go through
+                # sub) → its grad is a zeros array the optimizer masks off
+                # and XLA dead-code-eliminates
+                (loss, out), (grads, g_sub) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, sub0)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_table, m, v = sparse_adamw_row_update(
+                    params["item_embedding"]["embedding"],
+                    state.table_m, state.table_v,
+                    ids, umask, g_sub,
+                    lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
+                )
+                params = dict(params)
+                params["item_embedding"] = dict(
+                    params["item_embedding"], embedding=new_table
+                )
+                new_state = state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1,
+                    table_m=m, table_v=v,
+                )
+                return new_state, out
+
+        else:
+
+            def train_step(state: TrainState, batch, extra_vars):
+                rng = jax.random.fold_in(state.rng, state.step)
+                drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
+                batch = dict(batch, step=state.step)  # e.g. DualVAE KL annealing
+
+                def loss_fn(params):
+                    out = model.apply(
+                        {"params": params, **extra_vars},
+                        batch,
+                        deterministic=False,
+                        rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
+                    )
+                    return out["loss"], out
+
+                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    params=params, opt_state=opt_state, step=state.step + 1
+                )
+                return new_state, out
 
         jitted = jax.jit(train_step, donate_argnums=(0,))
         self._jit_train_step = lambda state, batch: jitted(
@@ -376,6 +454,9 @@ class Trainer:
                 self.best_valid_score if self.best_valid_score is not None else np.nan
             ),
         }
+        if self.state.table_m is not None:
+            payload["table_m"] = self.state.table_m
+            payload["table_v"] = self.state.table_v
         mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
 
@@ -393,12 +474,17 @@ class Trainer:
             "rng": self.state.rng,
             "best_valid_score": np.asarray(np.nan),
         }
+        if self.state.table_m is not None:
+            template["table_m"] = self.state.table_m
+            template["table_v"] = self.state.table_v
         restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
             rng=jnp.asarray(restored["rng"]),
+            table_m=restored.get("table_m"),
+            table_v=restored.get("table_v"),
         )
         bvs = float(restored["best_valid_score"])
         self.best_valid_score = None if math.isnan(bvs) else bvs

@@ -1,0 +1,119 @@
+"""Sparse (lazy) row-wise AdamW for the item-embedding table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhrec_tpu.data import InteractionData, build_dataloader
+from mhrec_tpu.trainer import Trainer
+
+from conftest import make_config
+
+
+def _one_batch(cfg, data):
+    train, _, _ = build_dataloader(cfg, data)
+    return next(iter(train.epoch_batches(0))), train
+
+
+def test_sparse_batch_remap(synth_dir):
+    """unique_ids[0] == 0, remapped indices reconstruct the global ids."""
+    cfg = make_config(synth_dir, sparse_item_adam=True)
+    data = InteractionData(cfg).build()
+    b, _ = _one_batch(cfg, data)
+    assert b["unique_ids"][0] == 0
+    n = int(b["unique_mask"].sum())
+    uniq = b["unique_ids"][:n]
+    assert (np.diff(uniq) > 0).all()  # sorted unique
+    # remap round-trip
+    dense_cfg = make_config(synth_dir, sparse_item_adam=False)
+    db, _ = _one_batch(dense_cfg, data)
+    np.testing.assert_array_equal(uniq[b["items"]], db["items"])
+    np.testing.assert_array_equal(uniq[b["neg_items"]], db["neg_items"])
+    # pad slots alias id 0
+    assert (b["unique_ids"][n:] == 0).all()
+
+
+def test_sparse_single_step_matches_dense(synth_dir):
+    """With weight_decay=0, ONE sparse step == one dense AdamW step
+    (untouched rows have zero moments in both; touched rows identical)."""
+    data = None
+    states = {}
+    for sparse in (False, True):
+        cfg = make_config(
+            synth_dir, sparse_item_adam=sparse, total_iters=1,
+            optim_args={"learning_rate": 1e-2, "weight_decay": 0.0},
+        )
+        if data is None:
+            data = InteractionData(cfg).build()
+        t = Trainer(cfg, data)
+        t.setup_model(seed=7)
+        b, _ = _one_batch(cfg, data)
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        state, out = t._jit_train_step(t.state, batch)
+        states[sparse] = (jax.device_get(state.params), float(out["loss"]))
+
+    dense_params, dense_loss = states[False]
+    sparse_params, sparse_loss = states[True]
+    assert dense_loss == pytest.approx(sparse_loss, rel=1e-5)
+    flat_d = jax.tree_util.tree_leaves_with_path(dense_params)
+    flat_s = dict(
+        (jax.tree_util.keystr(p), x)
+        for p, x in jax.tree_util.tree_leaves_with_path(sparse_params)
+    )
+    for path, xd in flat_d:
+        xs = flat_s[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(xd), np.asarray(xs), rtol=2e-4, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_sparse_fit_and_resume(synth_dir, tmp_path):
+    """Multi-step sparse training runs, checkpoints carry the table moments,
+    and resume restores them."""
+    cfg = make_config(
+        synth_dir, sparse_item_adam=True, total_iters=4, eval_interval=100,
+        checkpoint_dir=str(tmp_path),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model(seed=1)
+    stats = t.fit(train, None)
+    assert stats["iters"] == 4
+    assert np.isfinite(stats["examples_per_s"])
+    assert t.state.table_m is not None
+    assert float(jnp.abs(t.state.table_m).sum()) > 0
+    t.save_checkpoint()
+
+    t2 = Trainer(cfg, data)
+    t2.setup_model(seed=2)
+    assert t2.load_checkpoint()
+    assert int(t2.state.step) == 4
+    np.testing.assert_allclose(
+        np.asarray(t2.state.table_m), np.asarray(t.state.table_m)
+    )
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["item_embedding"]["embedding"]),
+        np.asarray(t.state.params["item_embedding"]["embedding"]),
+    )
+
+
+def test_sparse_with_sharded_table(synth_dir):
+    """sparse_item_adam composes with the row-sharded item table on an
+    8-device mesh (gather/scatter through GSPMD)."""
+    cfg = make_config(
+        synth_dir, sparse_item_adam=True, shard_item_embedding=True,
+        train_batch_size=8, total_iters=1,
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model(seed=0)
+    from mhrec_tpu.parallel.mesh import shard_batch
+
+    b = next(iter(train.epoch_batches(0)))
+    batch = shard_batch(t.mesh, {k: jnp.asarray(v) for k, v in b.items()})
+    state, out = t._jit_train_step(t.state, batch)
+    assert np.isfinite(float(out["loss"]))
