@@ -72,15 +72,27 @@ class _HFTokenizerWrapper:
 
 
 class ItemTextCache:
-    """Per-item token arrays, computed once."""
+    """Per-item token arrays, computed once.
+
+    With ``image_prefix`` set (use_image), every item's tokens start with
+    the fixed ``[vision_start][image_pad × n][vision_end]`` span the vision
+    tower splices over (reference chat-template layout, trainset.py:252-254),
+    and the text budget shrinks accordingly.
+    """
 
     def __init__(self, dataload, tokenizer, text_keys, item_prompt: str,
-                 max_text_length: int):
+                 max_text_length: int, image_prefix: Optional[np.ndarray] = None):
         self.dataload = dataload
         self.tokenizer = tokenizer
         self.text_keys = list(text_keys or ["title", "tag", "description"])
         self.item_prompt = item_prompt or ""
         self.max_text_length = max_text_length
+        self.image_prefix = image_prefix
+        if image_prefix is not None:
+            assert len(image_prefix) < max_text_length, (
+                "MAX_TEXT_LENGTH too small for the image-pad span; raise it "
+                "or shrink img_height/img_width"
+            )
         self._cache: Dict[int, np.ndarray] = {}
 
     def render(self, item_id: int) -> str:
@@ -96,8 +108,13 @@ class ItemTextCache:
     def tokens(self, item_id: int) -> np.ndarray:
         arr = self._cache.get(item_id)
         if arr is None:
-            ids = self.tokenizer.encode(self.render(item_id), self.max_text_length)
-            arr = np.asarray(ids[: self.max_text_length], dtype=np.int32)
+            budget = self.max_text_length
+            if self.image_prefix is not None:
+                budget -= len(self.image_prefix)
+            ids = self.tokenizer.encode(self.render(item_id), budget)
+            arr = np.asarray(ids[:budget], dtype=np.int32)
+            if self.image_prefix is not None:
+                arr = np.concatenate([self.image_prefix, arr])
             self._cache[item_id] = arr
         return arr
 
@@ -114,16 +131,42 @@ class ItemTextCache:
         return out, lens
 
 
+def build_image_prefix(tokenizer, n_tokens: int) -> np.ndarray:
+    """``[vision_start][image_pad × n][vision_end]`` token ids (the fixed
+    span the vision tower splices over; reference chat-template layout)."""
+    ids = None
+    tok = getattr(tokenizer, "tok", None)
+    if tok is not None:
+        try:
+            trip = [tok.convert_tokens_to_ids(t) for t in
+                    ("<|vision_start|>", "<|image_pad|>", "<|vision_end|>")]
+            if all(isinstance(x, int) and x >= 0 for x in trip):
+                ids = trip
+        except Exception:
+            pass
+    if ids is None:  # hash tokenizer: reserve the top of the vocab
+        V = tokenizer.vocab_size
+        ids = [V - 3, V - 2, V - 1]
+    vs, ip, ve = ids
+    return np.asarray([vs] + [ip] * n_tokens + [ve], np.int32)
+
+
+def _setup_image_store(config, dataload, tokenizer):
+    """→ (ItemImageStore | None, image_prefix | None)."""
+    if not config.get("use_image", False):
+        return None, None
+    from mhrec_tpu.data.vision import ItemImageStore
+
+    store = ItemImageStore(config, dataload)
+    return store, build_image_prefix(tokenizer, store.prep.n_tokens)
+
+
 class TextSEQTrainBatcher(SEQTrainBatcher):
-    """SEQTrainBatcher + deduplicated item-text token matrices."""
+    """SEQTrainBatcher + per-occurrence item-text token matrices (and image
+    patch tensors when ``use_image``)."""
 
     def __init__(self, config, dataload, **kw):
         super().__init__(config, dataload, **kw)
-        if config.get("use_image", False):
-            raise NotImplementedError(
-                "Image item towers (Qwen2-VL / LLaVA branches of the reference, "
-                "trainset.py:386-471) are not implemented yet; text towers only."
-            )
         self.freeze_item_llm = bool(config.get("freeze_item_llm", False))
         self.packed_item_tower = bool(config.get("packed_item_tower", False))
         self.pack_bucket = int(config.get("pack_bucket", 2048))
@@ -131,9 +174,14 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         tokenizer = build_tokenizer(
             config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
         )
+        self.image_store, image_prefix = _setup_image_store(
+            config, dataload, tokenizer
+        )
+        if self.image_store is not None and self.packed_item_tower:
+            raise ValueError("use_image is incompatible with packed_item_tower")
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
-            self.max_text_length,
+            self.max_text_length, image_prefix=image_prefix,
         )
 
     def make_batch(self, rng, loc_idx):
@@ -152,6 +200,13 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         else:
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
             batch["neg_tokens"], batch["neg_token_lens"] = neg_tokens, neg_lens
+            if self.image_store is not None:
+                batch["pos_pixel_patches"] = self.image_store.batch(
+                    batch["items"].ravel()
+                )
+                batch["neg_pixel_patches"] = self.image_store.batch(
+                    batch["neg_items"].ravel()
+                )
         return batch
 
 
@@ -165,9 +220,12 @@ class BatchTextBatcher:
         tokenizer = build_tokenizer(
             config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
         )
+        self.image_store, image_prefix = _setup_image_store(
+            config, dataload, tokenizer
+        )
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
-            self.max_text_length,
+            self.max_text_length, image_prefix=image_prefix,
         )
         self.batch_size = batch_size or (
             config["MAX_ITEM_LIST_LENGTH"] * config["train_batch_size"]
@@ -182,9 +240,12 @@ class BatchTextBatcher:
             if n_real < bs:  # static shapes
                 ids = np.concatenate([ids, np.zeros(bs - n_real, np.int64)])
             tokens, lens = self.text_cache.batch(ids)
-            yield {
+            out = {
                 "item_ids": ids,
                 "tokens": tokens,
                 "lens": lens,
                 "n_real": n_real,
             }
+            if self.image_store is not None:
+                out["pixel_patches"] = self.image_store.batch(ids)
+            yield out

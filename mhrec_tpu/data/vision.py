@@ -1,0 +1,135 @@
+"""Host-side image loading and patch extraction for the HLLM image tower.
+
+Counterpart of the reference's image branch (trainset.py:386-471 +
+``qwen_vl_utils.py``): images are resized to the configured
+``img_height × img_width`` (the reference passes ``resized_height/width`` to
+the Qwen processor, trainset.py:133-136), normalized with the CLIP
+mean/std, and flattened into Qwen2-VL patch vectors
+``[n_patches, C·tps·ps²]`` whose ordering matches the HF image processor —
+channel-major per patch, 2×2 spatial-merge blocks row-major — so pretrained
+``visual.patch_embed`` weights and the PatchMerger apply unchanged.
+
+TPU-first difference: the resolution is **fixed per run**, so every item
+yields the same patch count and batches are static ``[N, P, D]`` tensors
+(see models/llm/vision.py). Items without an image use a black image, the
+reference's failure fallback (trainset.py:441-442).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+OPENAI_CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class ImagePreprocessor:
+    def __init__(self, img_height: int, img_width: int, patch_size: int = 14,
+                 temporal_patch_size: int = 2, spatial_merge_size: int = 2):
+        assert img_height % (patch_size * spatial_merge_size) == 0, (
+            f"img_height={img_height} must be a multiple of "
+            f"patch_size*merge={patch_size * spatial_merge_size}"
+        )
+        assert img_width % (patch_size * spatial_merge_size) == 0
+        self.img_height = img_height
+        self.img_width = img_width
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge_size = spatial_merge_size
+        self.grid_h = img_height // patch_size
+        self.grid_w = img_width // patch_size
+        self.n_patches = self.grid_h * self.grid_w
+        self.n_tokens = self.n_patches // spatial_merge_size ** 2
+        self.patch_dim = 3 * temporal_patch_size * patch_size ** 2
+        self._black = self._patchify(
+            np.broadcast_to(
+                ((0.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD)[:, None, None],
+                (3, img_height, img_width),
+            ).astype(np.float32)
+        )
+
+    def _patchify(self, chw: np.ndarray) -> np.ndarray:
+        """[3, H, W] normalized → [n_patches, patch_dim], HF Qwen2-VL order."""
+        ps, m, tps = self.patch_size, self.merge_size, self.temporal_patch_size
+        gh, gw = self.grid_h, self.grid_w
+        # duplicate the frame across the temporal patch (HF does the same
+        # for still images), then block into merge-groups of patches
+        x = np.broadcast_to(chw[None], (tps, 3, self.img_height, self.img_width))
+        x = x.reshape(1, tps, 3, gh // m, m, ps, gw // m, m, ps)
+        x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        return np.ascontiguousarray(x.reshape(self.n_patches, self.patch_dim))
+
+    def preprocess(self, image) -> np.ndarray:
+        """PIL image → [n_patches, patch_dim] float32."""
+        img = image.convert("RGB").resize((self.img_width, self.img_height))
+        arr = np.asarray(img, np.float32) / 255.0           # [H, W, 3]
+        arr = (arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+        return self._patchify(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+
+    def load(self, path: Optional[str]) -> np.ndarray:
+        """Path (or None) → patches; black image on missing/broken files."""
+        if not path or not os.path.isfile(path):
+            return self._black
+        try:
+            from PIL import Image
+
+            with Image.open(path) as img:
+                return self.preprocess(img)
+        except Exception:
+            return self._black
+
+    def batch(self, paths: Sequence[Optional[str]]) -> np.ndarray:
+        out = np.empty((len(paths), self.n_patches, self.patch_dim), np.float32)
+        for i, p in enumerate(paths):
+            out[i] = self.load(p)
+        return out
+
+
+def resolve_patch_geometry(config):
+    """(patch_size, temporal_patch_size, merge) — must match the model-side
+    VisionConfig (from the item checkpoint dir, else the tiny default)."""
+    from mhrec_tpu.models.llm.vision import VisionConfig
+
+    item_dir = config.get("item_pretrain_dir")
+    v = None
+    if item_dir and os.path.isdir(str(item_dir)):
+        try:
+            v = VisionConfig.from_pretrained_dir(str(item_dir))
+        except Exception:
+            v = None
+    if v is None:
+        v = VisionConfig.tiny()
+    return v.patch_size, v.temporal_patch_size, v.spatial_merge_size
+
+
+class ItemImageStore:
+    """item internal id → image path (reference dataload.py:213-218:
+    ``{image_dir}/{dataset}/{item_token}.jpg``, missing → None)."""
+
+    def __init__(self, config, dataload):
+        ps, tps, merge = resolve_patch_geometry(config)
+        self.prep = ImagePreprocessor(
+            int(config.get("img_height", 224)), int(config.get("img_width", 224)),
+            patch_size=ps, temporal_patch_size=tps, spatial_merge_size=merge,
+        )
+        image_dir = config.get("image_dir") or ""
+        dataset = config["dataset"]
+        self.root = os.path.join(str(image_dir), str(dataset)) if image_dir else ""
+        self.id2token = dataload.id2token["item_id"]
+        self._paths: Dict[int, Optional[str]] = {}
+
+    def path(self, item_id: int) -> Optional[str]:
+        if item_id in self._paths:
+            return self._paths[item_id]
+        p = None
+        if self.root and item_id > 0:
+            cand = os.path.join(self.root, f"{self.id2token[item_id]}.jpg")
+            p = cand if os.path.isfile(cand) else None
+        self._paths[item_id] = p
+        return p
+
+    def batch(self, item_ids) -> np.ndarray:
+        return self.prep.batch([self.path(int(i)) for i in item_ids])

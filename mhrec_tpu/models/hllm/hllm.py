@@ -34,6 +34,7 @@ from mhrec_tpu.models.layers import cosine_normalize, trunc_normal_init
 from mhrec_tpu.models.llm.config import LLMConfig
 from mhrec_tpu.models.llm.dummy import DummyLLM
 from mhrec_tpu.models.llm.llama import LlamaBackbone
+from mhrec_tpu.models.llm.vision import VisionConfig, VisionTower
 from mhrec_tpu.models.multihead import (
     compute_multihead_losses,
     predict_switch_and_heads,
@@ -52,6 +53,13 @@ class HLLM(nn.Module):
     item_num: int = 0              # needed for the frozen-table variable
     item_emb_token_n: int = 1
     gradient_checkpointing: bool = False
+    # image branch (reference hllm.py:399-464 qwen2-vl path): a vision tower
+    # encodes each item's image into tokens spliced over the fixed
+    # image-pad span of the item text
+    use_image: bool = False
+    vision_config: Optional[VisionConfig] = None
+    img_grid: Tuple[int, int] = (16, 16)   # (grid_h, grid_w) in 14px patches
+    image_span_start: int = 1              # tokens before the image pads
     # loss / heads (same contract as HSTU)
     loss_type: str = "nce"
     nce_thres: float = 0.99
@@ -129,6 +137,16 @@ class HLLM(nn.Module):
 
         if not self.freeze_item_llm:
             self.item_llm = make_llm(self.item_config, "item_llm")
+            if self.use_image and not self.dummy_llm:
+                vcfg = self.vision_config or VisionConfig.tiny(
+                    self.item_config.hidden_size
+                )
+                self.visual = VisionTower(
+                    vcfg, grid_h=self.img_grid[0], grid_w=self.img_grid[1],
+                    dtype=self.dtype,
+                    gradient_checkpointing=self.gradient_checkpointing,
+                    name="visual",
+                )
         else:
             # precomputed table, populated via load-time assignment
             self.all_item_embeds = self.variable(
@@ -227,10 +245,44 @@ class HLLM(nn.Module):
         return jnp.stack([h(output_embs) for h in self.medusa_head], axis=1)
 
     # ------------------------------------------------------------------
-    def encode_items(self, tokens: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    def _image_mrope_positions(self, T: int) -> np.ndarray:
+        """[3, T] (t, h, w) M-RoPE position components for the fixed item
+        layout [prefix][image pads][text...] (reference qwen2-vl
+        get_rope_index semantics, single image per item)."""
+        m = (self.vision_config or VisionConfig.tiny()).spatial_merge_size
+        hm, wm = self.img_grid[0] // m, self.img_grid[1] // m
+        s, n = self.image_span_start, hm * wm
+        pos = np.broadcast_to(np.arange(T, dtype=np.int32), (3, T)).copy()
+        j = np.arange(n)
+        pos[0, s:s + n] = s
+        pos[1, s:s + n] = s + j // wm
+        pos[2, s:s + n] = s + j % wm
+        pos[:, s + n:] = s + max(hm, wm) + np.arange(T - s - n, dtype=np.int32)
+        return pos
+
+    def _image_kwargs(self, tokens, pixel_patches):
+        """Vision-tower call + backbone splice/position kwargs."""
+        if pixel_patches is None or self.dummy_llm or self.freeze_item_llm:
+            return {}
+        N, T = tokens.shape
+        img_tokens = self.visual(pixel_patches)             # [N, n_img, D]
+        extra = {
+            "image_embeds": img_tokens,
+            "image_span": (self.image_span_start, img_tokens.shape[1]),
+        }
+        if self.item_config.mrope_section:
+            pos = jnp.asarray(self._image_mrope_positions(T))
+            extra["position_ids"] = jnp.broadcast_to(
+                pos[:, None, :], (3, N, T)
+            )
+        return extra
+
+    def encode_items(self, tokens: jnp.ndarray, lens: jnp.ndarray,
+                     pixel_patches: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Item tower: padded token batch [N, T+1] → [N, D_item]."""
         N, T = tokens.shape
         col = jnp.arange(T)[None, :]
+        extra = self._image_kwargs(tokens, pixel_patches)
         if self.item_emb_token_n > 0 and not self.dummy_llm:
             attn_mask = (col <= lens[:, None]).astype(jnp.int32)  # include slot
             hidden = self.item_llm(
@@ -238,11 +290,13 @@ class HLLM(nn.Module):
                 attention_mask=attn_mask,
                 emb_tokens=self.item_emb_tokens,
                 emb_pos=lens,
+                **extra,
             )
             emb = jnp.take_along_axis(hidden, lens[:, None, None], axis=1).squeeze(1)
         else:  # mean pooling over real tokens
             attn_mask = (col < lens[:, None]).astype(jnp.int32)
-            hidden = self.item_llm(input_ids=tokens, attention_mask=attn_mask)
+            hidden = self.item_llm(input_ids=tokens, attention_mask=attn_mask,
+                                   **extra)
             m = attn_mask[..., None].astype(hidden.dtype)
             emb = (hidden * m).sum(axis=1) / jnp.clip(
                 lens[:, None].astype(hidden.dtype), 1, None
@@ -266,9 +320,9 @@ class HLLM(nn.Module):
         )[0]  # [S, D]
         return hidden[emb_slots].astype(jnp.float32)
 
-    def compute_item_chunk(self, tokens, lens):
+    def compute_item_chunk(self, tokens, lens, pixel_patches=None):
         """Corpus-embedding pass chunk (reference compute_item)."""
-        return self.encode_items(tokens, lens)
+        return self.encode_items(tokens, lens, pixel_patches)
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = False):
@@ -301,11 +355,13 @@ class HLLM(nn.Module):
         else:
             B, W = batch["items"].shape
             pos_items_embs = self.encode_items(
-                batch["pos_tokens"], batch["pos_token_lens"]
+                batch["pos_tokens"], batch["pos_token_lens"],
+                batch.get("pos_pixel_patches"),
             ).reshape(B, W, -1)                              # [B, L+P, D]
             n_cats = batch["neg_items"].shape[1]
             neg_embs = self.encode_items(
-                batch["neg_tokens"], batch["neg_token_lens"]
+                batch["neg_tokens"], batch["neg_token_lens"],
+                batch.get("neg_pixel_patches"),
             ).reshape(B, n_cats, -1, pos_items_embs.shape[-1])
 
             def _neg_norm(col):
@@ -366,7 +422,21 @@ def load_pretrained_towers(params, config):
         try:
             params[key] = load_llama_params(path, cfg)
         except FileNotFoundError:
-            pass
+            continue
+        if key == "item_llm" and "visual" in params:
+            from mhrec_tpu.models.llm.loader import _load_state_dict
+            from mhrec_tpu.models.llm.vision import (
+                VisionConfig, load_vision_params,
+            )
+
+            try:
+                sd = _load_state_dict(path)
+                if any(k.startswith("visual.") for k in sd):
+                    params["visual"] = load_vision_params(
+                        sd, VisionConfig.from_pretrained_dir(path)
+                    )
+            except (FileNotFoundError, ValueError):
+                pass
     return params
 
 
@@ -394,6 +464,27 @@ def hllm_from_config(config, dataload) -> HLLM:
         item_cfg = LLMConfig.from_pretrained_dir(item_dir)
         user_cfg = LLMConfig.from_pretrained_dir(user_dir or item_dir)
 
+    use_image = bool(config.get("use_image", False))
+    vision_cfg = None
+    img_grid = (16, 16)
+    if use_image:
+        assert not config.get("packed_item_tower"), (
+            "use_image is incompatible with packed_item_tower (dense padded "
+            "batches carry the static image span)"
+        )
+        import os as _os
+
+        if item_dir and _os.path.isdir(str(item_dir)):
+            try:
+                vision_cfg = VisionConfig.from_pretrained_dir(str(item_dir))
+            except (ValueError, FileNotFoundError):
+                vision_cfg = None
+        if vision_cfg is None:
+            vision_cfg = VisionConfig.tiny(item_cfg.hidden_size)
+        ih = int(config.get("img_height", 224))
+        iw = int(config.get("img_width", 224))
+        img_grid = (ih // vision_cfg.patch_size, iw // vision_cfg.patch_size)
+
     i2c = config["int_to_category"] or {}
     eval_pred_len = config["eval_pred_len"]
     prior_given = bool(config.get("prior_given_at_test", False))
@@ -408,6 +499,9 @@ def hllm_from_config(config, dataload) -> HLLM:
         item_num=dataload.item_num,
         item_emb_token_n=config.get("item_emb_token_n", 1) or 0,
         gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),
+        use_image=use_image,
+        vision_config=vision_cfg,
+        img_grid=img_grid,
         loss_type=loss,
         nce_thres=config["nce_thres"] or 0.99,
         fix_temp=bool(config["fix_temp"]),

@@ -27,6 +27,9 @@ class LLMConfig:
     attention_bias: bool = False        # qwen2 uses bias on q/k/v
     tie_word_embeddings: bool = False
     model_type: str = "llama"
+    # Multimodal RoPE (qwen2_vl): per-axis rotary sections (t, h, w) over
+    # head_dim//2. None → standard 1D RoPE.
+    mrope_section: Optional[tuple] = None
 
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "LLMConfig":
@@ -37,6 +40,8 @@ class LLMConfig:
         attention_bias = raw.get(
             "attention_bias", model_type in ("qwen2", "qwen2_vl")
         )
+        rope_scaling = raw.get("rope_scaling") or {}
+        mrope = rope_scaling.get("mrope_section")
         return cls(
             vocab_size=raw["vocab_size"],
             hidden_size=raw["hidden_size"],
@@ -52,6 +57,7 @@ class LLMConfig:
             attention_bias=attention_bias,
             tie_word_embeddings=raw.get("tie_word_embeddings", False),
             model_type=model_type,
+            mrope_section=tuple(mrope) if mrope else None,
         )
 
     @classmethod

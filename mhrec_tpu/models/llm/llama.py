@@ -49,6 +49,27 @@ def rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float):
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
+def mrope_rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float,
+                           section) -> tuple:
+    """Multimodal RoPE (qwen2_vl): positions [3, B, T] with (t, h, w)
+    components; ``section`` lists how many of the head_dim//2 rotary
+    frequencies each component drives (reference modeling_qwen2_vl.py
+    apply_multimodal_rotary_pos_emb). → cos/sin [B, T, head_dim//2]."""
+    assert sum(section) == head_dim // 2, (section, head_dim)
+    inv_freq = 1.0 / (
+        theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, None, :]
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)   # [3, B, T, dh/2]
+    parts_c, parts_s = [], []
+    off = 0
+    for i, s in enumerate(section):
+        parts_c.append(cos[i, ..., off:off + s])
+        parts_s.append(sin[i, ..., off:off + s])
+        off += s
+    return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)
+
+
 def apply_rope(x, cos, sin):
     """x: [B, T, H, D]; rotate-half convention (HF Llama)."""
     d2 = x.shape[-1] // 2
@@ -152,6 +173,8 @@ class LlamaBackbone(nn.Module):
         emb_tokens: Optional[jnp.ndarray] = None,  # [1, 1, D] learnable slot
         emb_pos: Optional[jnp.ndarray] = None,     # [B] slot index per row
         segment_ids: Optional[jnp.ndarray] = None,  # [S] packed varlen mode
+        image_embeds: Optional[jnp.ndarray] = None,  # [B, n_img, D]
+        image_span: Optional[tuple] = None,          # static (start, n_img)
     ) -> jnp.ndarray:
         c = self.config
         if inputs_embeds is None:
@@ -162,6 +185,13 @@ class LlamaBackbone(nn.Module):
                 name="embed_tokens",
             )
             inputs_embeds = embed(input_ids)
+        if image_embeds is not None:
+            # splice vision-tower tokens over the image-pad span (reference
+            # modeling_qwen2_vl.py:1858 masked_scatter; static span here)
+            s, n = image_span
+            inputs_embeds = inputs_embeds.at[:, s:s + n, :].set(
+                image_embeds.astype(inputs_embeds.dtype)
+            )
         if emb_tokens is not None and emb_pos is not None:
             # scatter the learnable item-embedding token into each row's slot
             # (reference modeling_llama.py:1220-1228); in packed mode emb_pos
@@ -191,7 +221,14 @@ class LlamaBackbone(nn.Module):
             position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
 
         dh = c.hidden_size // c.num_attention_heads
-        cos, sin = rotary_embedding(position_ids, dh, c.rope_theta)
+        if position_ids.ndim == 3 and c.mrope_section:
+            cos, sin = mrope_rotary_embedding(
+                position_ids, dh, c.rope_theta, c.mrope_section
+            )
+        else:
+            if position_ids.ndim == 3:
+                position_ids = position_ids[0]
+            cos, sin = rotary_embedding(position_ids, dh, c.rope_theta)
 
         layer_cls = LlamaLayer
         if self.gradient_checkpointing:

@@ -67,16 +67,27 @@ def load_llama_params(path: str, config: LLMConfig, dtype=np.float32):
         key = name if name in sd else f"model.{name}"
         return np.asarray(sd[key], dtype=dtype)
 
+    def has(name):
+        return name in sd or f"model.{name}" in sd
+
     params: Dict = {
         "embed_tokens": {"embedding": t("embed_tokens.weight")},
         "norm": {"weight": t("norm.weight")},
     }
     for i in range(config.num_hidden_layers):
         pre = f"layers.{i}"
+        if has(f"{pre}.self_attn.W_pack.weight"):
+            # Baichuan fuses q/k/v into one [3D, D] W_pack matrix
+            # (reference baichuan/modeling_baichuan.py); split into thirds.
+            wq, wk, wv = np.split(t(f"{pre}.self_attn.W_pack.weight"), 3, axis=0)
+        else:
+            wq = t(f"{pre}.self_attn.q_proj.weight")
+            wk = t(f"{pre}.self_attn.k_proj.weight")
+            wv = t(f"{pre}.self_attn.v_proj.weight")
         attn = {
-            "q_proj": {"kernel": t(f"{pre}.self_attn.q_proj.weight").T.reshape(D, h, dh)},
-            "k_proj": {"kernel": t(f"{pre}.self_attn.k_proj.weight").T.reshape(D, hk, dh)},
-            "v_proj": {"kernel": t(f"{pre}.self_attn.v_proj.weight").T.reshape(D, hk, dh)},
+            "q_proj": {"kernel": wq.T.reshape(D, h, dh)},
+            "k_proj": {"kernel": wk.T.reshape(D, hk, dh)},
+            "v_proj": {"kernel": wv.T.reshape(D, hk, dh)},
             "o_proj": {"kernel": t(f"{pre}.self_attn.o_proj.weight").T},
         }
         if config.attention_bias:

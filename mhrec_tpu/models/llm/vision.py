@@ -1,0 +1,215 @@
+"""Flax vision tower for image item encoding (Qwen2-VL layout).
+
+TPU-native counterpart of the reference's vendored
+``modeling_qwen2_vl.py`` vision stack (Qwen2VisionTransformerPretrainedModel,
+reference modeling_qwen2_vl.py:1089 merger / :1566 ``self.visual``): a ViT
+over 14×14×(2 temporal) patches with 2D rotary position embeddings, followed
+by a 2×2 spatial PatchMerger projecting into the text model's hidden size.
+
+TPU-first design choices:
+
+* **Static resolution.** The reference supports dynamic image grids via
+  varlen flash-attention; the paper's runs pin ``img_height/img_width`` to
+  224×224 (reproduce/HLLM-Pixel8M-prior.slurm). We make the grid a
+  compile-time constant, so every image yields the same patch count and the
+  whole tower runs as one dense ``[N_images, P, D]`` batch on the MXU — no
+  varlen bookkeeping, one XLA program.
+* Patch extraction (host side, :mod:`mhrec_tpu.data.vision`) flattens each
+  patch exactly like the HF Qwen2-VL image processor (channel-major,
+  temporal-duplicated), so pretrained ``visual.patch_embed`` weights apply
+  unchanged, and patches arrive pre-ordered in 2×2 merge groups so the
+  merger is a reshape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: int = 4
+    in_channels: int = 3
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    hidden_size: int = 1536          # output dim = text tower hidden size
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @classmethod
+    def from_pretrained_dir(cls, path: str) -> "VisionConfig":
+        with open(os.path.join(path, "config.json")) as fh:
+            raw = json.load(fh)
+        v = raw.get("vision_config")
+        if v is None:
+            raise ValueError(f"{path}/config.json has no vision_config")
+        return cls(
+            embed_dim=v.get("embed_dim", 1280),
+            depth=v.get("depth", 32),
+            num_heads=v.get("num_heads", 16),
+            mlp_ratio=v.get("mlp_ratio", 4),
+            in_channels=v.get("in_channels", 3),
+            patch_size=v.get("patch_size", 14),
+            temporal_patch_size=v.get("temporal_patch_size", 2),
+            spatial_merge_size=v.get("spatial_merge_size", 2),
+            hidden_size=v.get("hidden_size", raw.get("hidden_size", 1536)),
+            hidden_act=v.get("hidden_act", "quick_gelu"),
+        )
+
+    @classmethod
+    def tiny(cls, hidden_size: int = 64) -> "VisionConfig":
+        return cls(embed_dim=32, depth=2, num_heads=4, mlp_ratio=2,
+                   patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+                   hidden_size=hidden_size)
+
+
+def vision_rotary_tables(grid_h: int, grid_w: int, merge: int, head_dim: int,
+                         theta: float = 10000.0):
+    """cos/sin tables [P, head_dim] for the 2D vision RoPE.
+
+    Patch order matches the host patchifier: 2×2 merge blocks row-major,
+    then rows within each block (reference Qwen2VL ``rot_pos_emb``).
+    """
+    # patch order is (h_block, w_block, merge_h, merge_w) — see the host
+    # patchifier (data/vision.py) and reference rot_pos_emb
+    hb = np.arange(grid_h).reshape(grid_h // merge, 1, merge, 1)
+    wb = np.arange(grid_w).reshape(1, grid_w // merge, 1, merge)
+    shape = (grid_h // merge, grid_w // merge, merge, merge)
+    hpos = np.broadcast_to(hb, shape).ravel()
+    wpos = np.broadcast_to(wb, shape).ravel()
+    dim = head_dim // 2  # rotary dim per spatial axis pair
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    freq_h = hpos[:, None].astype(np.float32) * inv_freq[None, :]
+    freq_w = wpos[:, None].astype(np.float32) * inv_freq[None, :]
+    freqs = np.concatenate([freq_h, freq_w], axis=-1)       # [P, head_dim//2]
+    emb = np.concatenate([freqs, freqs], axis=-1)           # [P, head_dim]
+    return np.cos(emb), np.sin(emb)
+
+
+def _rotate_half(x):
+    d2 = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., d2:], x[..., :d2]], axis=-1)
+
+
+def _apply_vision_rope(x, cos, sin):
+    """x [N, P, H, Dh]; cos/sin [P, Dh]."""
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+
+
+class VisionBlock(nn.Module):
+    config: VisionConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        c = self.config
+        D, H = c.embed_dim, c.num_heads
+        dh = c.head_dim
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * D, use_bias=True, dtype=self.dtype, name="qkv")(h)
+        N, P, _ = qkv.shape
+        q, k, v = jnp.split(qkv.reshape(N, P, 3, H, dh), 3, axis=2)
+        q = _apply_vision_rope(q.squeeze(2), cos, sin)
+        k = _apply_vision_rope(k.squeeze(2), cos, sin)
+        v = v.squeeze(2)
+        scores = jnp.einsum("nphd,nqhd->nhpq", q, k) / np.sqrt(dh)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("nhpq,nqhd->nphd", probs, v).reshape(N, P, D)
+        x = x + nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(ctx)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(D * c.mlp_ratio, use_bias=True, dtype=self.dtype, name="fc1")(h)
+        if c.hidden_act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h)
+        return x + nn.Dense(D, use_bias=True, dtype=self.dtype, name="fc2")(h)
+
+
+class VisionTower(nn.Module):
+    """Patches [N, P, patch_dim] → image tokens [N, P/merge², hidden_size]."""
+
+    config: VisionConfig
+    grid_h: int                      # static grid (img_height // patch_size)
+    grid_w: int
+    dtype: Any = jnp.bfloat16
+    gradient_checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        m = c.spatial_merge_size
+        x = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
+                     name="patch_embed")(patches.astype(self.dtype))
+        cos, sin = vision_rotary_tables(self.grid_h, self.grid_w, m, c.head_dim)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        block_cls = VisionBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(VisionBlock)
+        for i in range(c.depth):
+            x = block_cls(c, self.dtype, name=f"blocks_{i}")(x, cos, sin)
+        # PatchMerger (reference modeling_qwen2_vl.py:1089): LN then merge
+        # each 2×2 group (consecutive in patch order) into one token.
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_q")(x)
+        N, P, D = x.shape
+        x = x.reshape(N, P // (m * m), m * m * D)
+        h = nn.Dense(m * m * D, use_bias=True, dtype=self.dtype, name="merger_fc1")(x)
+        h = nn.gelu(h)
+        return nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
+                        name="merger_fc2")(h)
+
+
+def load_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
+                       dtype=np.float32) -> Dict:
+    """Map HF ``visual.*`` weights onto :class:`VisionTower` params."""
+    def t(name):
+        return np.asarray(sd[f"visual.{name}"], dtype=dtype)
+
+    params: Dict = {
+        "patch_embed": {
+            # Conv3d [E, C, tps, ps, ps] with stride == kernel ≡ a linear
+            # layer over the flattened patch vector
+            "kernel": t("patch_embed.proj.weight").reshape(config.embed_dim, -1).T
+        },
+        "ln_q": {"scale": t("merger.ln_q.weight"), "bias": t("merger.ln_q.bias")},
+        "merger_fc1": {"kernel": t("merger.mlp.0.weight").T,
+                       "bias": t("merger.mlp.0.bias")},
+        "merger_fc2": {"kernel": t("merger.mlp.2.weight").T,
+                       "bias": t("merger.mlp.2.bias")},
+    }
+    for i in range(config.depth):
+        pre = f"blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": {"scale": t(f"{pre}.norm1.weight"), "bias": t(f"{pre}.norm1.bias")},
+            "norm2": {"scale": t(f"{pre}.norm2.weight"), "bias": t(f"{pre}.norm2.bias")},
+            "qkv": {"kernel": t(f"{pre}.attn.qkv.weight").T,
+                    "bias": t(f"{pre}.attn.qkv.bias")},
+            "proj": {"kernel": t(f"{pre}.attn.proj.weight").T,
+                     "bias": t(f"{pre}.attn.proj.bias")},
+            "fc1": {"kernel": t(f"{pre}.mlp.fc1.weight").T,
+                    "bias": t(f"{pre}.mlp.fc1.bias")},
+            "fc2": {"kernel": t(f"{pre}.mlp.fc2.weight").T,
+                    "bias": t(f"{pre}.mlp.fc2.bias")},
+        }
+    return params

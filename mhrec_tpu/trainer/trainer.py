@@ -264,6 +264,19 @@ class Trainer:
                 batch["pos_token_lens"] = jnp.full((B * (L + P),), 2, jnp.int32)
                 batch["neg_tokens"] = jnp.ones((B * n_cats * K, T), jnp.int32)
                 batch["neg_token_lens"] = jnp.full((B * n_cats * K,), 2, jnp.int32)
+                if c.get("use_image", False) and not c.get("dummy_llm", False):
+                    from mhrec_tpu.data.vision import resolve_patch_geometry
+
+                    ps, tps, _m = resolve_patch_geometry(c)
+                    gh = int(c.get("img_height", 224)) // ps
+                    gw = int(c.get("img_width", 224)) // ps
+                    pd = 3 * tps * ps * ps
+                    batch["pos_pixel_patches"] = jnp.zeros(
+                        (B * (L + P), gh * gw, pd), jnp.float32
+                    )
+                    batch["neg_pixel_patches"] = jnp.zeros(
+                        (B * n_cats * K, gh * gw, pd), jnp.float32
+                    )
         return batch
 
     def _build_train_step(self):
@@ -506,16 +519,19 @@ class Trainer:
             corpus = BatchTextBatcher(self.config, self.dataload)
             if not hasattr(self, "_item_chunk_fn") or self._item_chunk_fn is None:
                 self._item_chunk_fn = jax.jit(
-                    lambda p, tok, lens: self.model.apply(
-                        {"params": p, **self.extra_vars}, tok, lens,
+                    lambda p, tok, lens, px: self.model.apply(
+                        {"params": p, **self.extra_vars}, tok, lens, px,
                         method="compute_item_chunk",
-                    )
+                    ),
+                    static_argnums=(),
                 )
             chunks = []
             for cb in corpus.batches():
+                px = cb.get("pixel_patches")
                 emb = self._item_chunk_fn(
                     self.state.params, jnp.asarray(cb["tokens"]),
                     jnp.asarray(cb["lens"]),
+                    jnp.asarray(px) if px is not None else None,
                 )
                 chunks.append(np.asarray(emb)[: cb["n_real"]])
             return jnp.asarray(np.concatenate(chunks, axis=0))

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# HLLM event-prior evaluation on MerRec-2000 (reference
+# reproduce/HLLM-merrec-prior.slurm: warm-start from the base checkpoint,
+# 6 event prior heads, oracle priors at test, val_only evaluation).
+set -euo pipefail
+DATA_PATH=${DATA_PATH:-./dataset}
+TEXT_PATH=${TEXT_PATH:-./information/merrec_2000-info.parquet}
+ITEM_LLM=${ITEM_LLM:-./checkpoints/TinyLlama-1.1B-Chat-v1.0}
+USER_LLM=${USER_LLM:-./checkpoints/TinyLlama_v1.1}
+RESUME=${RESUME:-}   # orbax checkpoint dir of the base run
+
+python -m mhrec_tpu.run \
+  --config_file overall/LLM.yaml HLLM/HLLM.yaml -- \
+  --data_path "$DATA_PATH" \
+  --dataset merrec_2000 \
+  --text_path "$TEXT_PATH" \
+  --item_pretrain_dir "$ITEM_LLM" \
+  --user_pretrain_dir "$USER_LLM" \
+  ${RESUME:+--load_checkpoint_name "$RESUME"} \
+  --MAX_ITEM_LIST_LENGTH 50 \
+  --MAX_TEXT_LENGTH 256 \
+  --min_seq_len 400 \
+  --train_batch_size 32 \
+  --optim_args.learning_rate 1e-4 \
+  --num_negatives 4096 \
+  --total_iters 3000 \
+  --eval_interval 300 \
+  --loss prior \
+  --text_keys '["category_name","brand_name"]' \
+  --medusa_num_layers 1 \
+  --num_segment_head 1 \
+  --num_prior_head 6 \
+  --head_interaction multiplicative \
+  --split_mode combine \
+  --pred_len 1 \
+  --eval_pred_len 1 \
+  --eval_num_cats 6 \
+  --weighted_prior_loss True \
+  --prior_given_at_test True \
+  --given_prior_len 1 \
+  --outlier_user_metrics event \
+  --sample_last_only False \
+  --train_test_gap 0 \
+  --timestamp_required True \
+  --log_detailed_results True \
+  --gradient_checkpointing True \
+  --val_only True

@@ -1,0 +1,285 @@
+"""Image branch: host patchifier, vision tower, M-RoPE, HF weight loading,
+and HLLM use_image end to end (reference trainset.py:386-471 +
+modeling_qwen2_vl.py vision stack)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhrec_tpu.config import Config
+from mhrec_tpu.data import InteractionData, build_dataloader
+from mhrec_tpu.data.vision import (
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+    ImagePreprocessor,
+)
+from mhrec_tpu.models.llm.config import LLMConfig
+from mhrec_tpu.models.llm.llama import (
+    mrope_rotary_embedding,
+    rotary_embedding,
+)
+from mhrec_tpu.models.llm.vision import (
+    VisionConfig,
+    VisionTower,
+    load_vision_params,
+    vision_rotary_tables,
+)
+from mhrec_tpu.trainer import Trainer
+
+pytest.importorskip("PIL")
+
+
+def test_patchify_pixel_mapping():
+    """Patch rows are ordered (h_block, w_block, merge_h, merge_w) and each
+    vector is [c, temporal, ps, ps] — the HF Qwen2-VL layout."""
+    ps, m = 2, 2
+    H = W = 8  # grid 4x4
+    prep = ImagePreprocessor(H, W, patch_size=ps, temporal_patch_size=2,
+                             spatial_merge_size=m)
+    # encode pixel coordinates into the channels
+    chw = np.zeros((3, H, W), np.float32)
+    chw[0] = np.arange(H)[:, None]  # row index
+    chw[1] = np.arange(W)[None, :]  # col index
+    patches = prep._patchify(chw)
+    assert patches.shape == (prep.n_patches, 3 * 2 * ps * ps)
+    gh, gw = H // ps, W // ps
+    for p in range(prep.n_patches):
+        hb, rem = divmod(p, (gw // m) * m * m)
+        wb, rem2 = divmod(rem, m * m)
+        mh, mw = divmod(rem2, m)
+        row0 = (hb * m + mh) * ps
+        col0 = (wb * m + mw) * ps
+        vec = patches[p].reshape(3, 2, ps, ps)
+        np.testing.assert_array_equal(vec[0, 0], chw[0, row0:row0 + ps, col0:col0 + ps])
+        np.testing.assert_array_equal(vec[1, 0], chw[1, row0:row0 + ps, col0:col0 + ps])
+        np.testing.assert_array_equal(vec[:, 0], vec[:, 1])  # temporal dup
+
+
+def test_black_fallback_and_load():
+    prep = ImagePreprocessor(8, 8, patch_size=2, temporal_patch_size=2,
+                             spatial_merge_size=2)
+    black = prep.load(None)
+    assert black.shape == (prep.n_patches, prep.patch_dim)
+    # black pixels = (0 - mean)/std per channel
+    vec = black[0].reshape(3, 2, 2, 2)
+    for c in range(3):
+        np.testing.assert_allclose(
+            vec[c], (-OPENAI_CLIP_MEAN[c] / OPENAI_CLIP_STD[c]), rtol=1e-5
+        )
+    assert prep.load("/nonexistent/file.jpg") is black or np.array_equal(
+        prep.load("/nonexistent/file.jpg"), black
+    )
+
+
+def test_real_image_roundtrip(tmp_path):
+    from PIL import Image
+
+    prep = ImagePreprocessor(8, 8, patch_size=2, temporal_patch_size=2,
+                             spatial_merge_size=2)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (12, 10, 3), np.uint8), "RGB"
+    )
+    p = tmp_path / "x.jpg"
+    img.save(p)
+    patches = prep.load(str(p))
+    assert patches.shape == (16, 24)
+    assert np.isfinite(patches).all()
+    assert not np.array_equal(patches, prep.load(None))
+
+
+def test_vision_tower_shapes_and_grouping():
+    import jax
+
+    cfg = VisionConfig.tiny(hidden_size=48)
+    grid_h = grid_w = 4
+    tower = VisionTower(cfg, grid_h=grid_h, grid_w=grid_w, dtype=jnp.float32)
+    patches = np.random.default_rng(0).normal(
+        size=(3, grid_h * grid_w, cfg.patch_dim)
+    ).astype(np.float32)
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(patches))["params"]
+    out = tower.apply({"params": params}, jnp.asarray(patches))
+    assert out.shape == (3, (grid_h // 2) * (grid_w // 2), 48)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vision_rotary_table_order():
+    cos, sin = vision_rotary_tables(4, 4, merge=2, head_dim=8)
+    assert cos.shape == (16, 8)
+    # patch 0 is (h=0, w=0): zero angle -> cos 1, sin 0
+    np.testing.assert_allclose(cos[0], 1.0)
+    np.testing.assert_allclose(sin[0], 0.0)
+    # patch 1 is (h=0, w=1) within the first merge block: h-half stays zero
+    np.testing.assert_allclose(cos[1, :2], 1.0)
+    assert not np.allclose(cos[1, 2:4], 1.0)
+
+
+def test_mrope_reduces_to_1d_rope():
+    """When the (t, h, w) components are all equal (text-only), M-RoPE must
+    equal the standard rotary embedding."""
+    B, T, dh = 2, 6, 8
+    pos = np.arange(T)[None].repeat(B, 0)
+    pos3 = jnp.asarray(np.stack([pos] * 3))
+    c3, s3 = mrope_rotary_embedding(pos3, dh, 10000.0, (2, 1, 1))
+    c1, s1 = rotary_embedding(jnp.asarray(pos), dh, 10000.0)
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s1), rtol=1e-6)
+
+
+def _write_tiny_qwen2vl_ckpt(dirpath, vocab=96, hidden=32, layers=2, heads=4,
+                             kv=2, vps=4, vdim=16, vdepth=2, vheads=4):
+    """Tiny HF-style qwen2_vl checkpoint: text decoder with qkv bias +
+    mrope, and a visual.* vision tower."""
+    import torch
+
+    os.makedirs(dirpath, exist_ok=True)
+    inter = hidden * 2
+    dh = hidden // heads
+    g = torch.Generator().manual_seed(7)
+    sd = {}
+    sd["model.embed_tokens.weight"] = torch.randn(vocab, hidden, generator=g) * 0.02
+    sd["model.norm.weight"] = torch.ones(hidden)
+    for i in range(layers):
+        p = f"model.layers.{i}"
+        sd[f"{p}.self_attn.q_proj.weight"] = torch.randn(heads * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.k_proj.weight"] = torch.randn(kv * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.v_proj.weight"] = torch.randn(kv * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.q_proj.bias"] = torch.zeros(heads * dh)
+        sd[f"{p}.self_attn.k_proj.bias"] = torch.zeros(kv * dh)
+        sd[f"{p}.self_attn.v_proj.bias"] = torch.zeros(kv * dh)
+        sd[f"{p}.self_attn.o_proj.weight"] = torch.randn(hidden, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.gate_proj.weight"] = torch.randn(inter, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.up_proj.weight"] = torch.randn(inter, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.down_proj.weight"] = torch.randn(hidden, inter, generator=g) * 0.05
+        sd[f"{p}.input_layernorm.weight"] = torch.ones(hidden)
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.ones(hidden)
+    # vision tower
+    patch_dim = 3 * 2 * vps * vps
+    vmlp = vdim * 2
+    sd["visual.patch_embed.proj.weight"] = torch.randn(vdim, 3, 2, vps, vps, generator=g) * 0.05
+    for i in range(vdepth):
+        p = f"visual.blocks.{i}"
+        sd[f"{p}.norm1.weight"] = torch.ones(vdim)
+        sd[f"{p}.norm1.bias"] = torch.zeros(vdim)
+        sd[f"{p}.norm2.weight"] = torch.ones(vdim)
+        sd[f"{p}.norm2.bias"] = torch.zeros(vdim)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * vdim, vdim, generator=g) * 0.05
+        sd[f"{p}.attn.qkv.bias"] = torch.zeros(3 * vdim)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(vdim, vdim, generator=g) * 0.05
+        sd[f"{p}.attn.proj.bias"] = torch.zeros(vdim)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(vmlp, vdim, generator=g) * 0.05
+        sd[f"{p}.mlp.fc1.bias"] = torch.zeros(vmlp)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(vdim, vmlp, generator=g) * 0.05
+        sd[f"{p}.mlp.fc2.bias"] = torch.zeros(vdim)
+    merged = vdim * 4
+    sd["visual.merger.ln_q.weight"] = torch.ones(vdim)
+    sd["visual.merger.ln_q.bias"] = torch.zeros(vdim)
+    sd["visual.merger.mlp.0.weight"] = torch.randn(merged, merged, generator=g) * 0.05
+    sd["visual.merger.mlp.0.bias"] = torch.zeros(merged)
+    sd["visual.merger.mlp.2.weight"] = torch.randn(hidden, merged, generator=g) * 0.05
+    sd["visual.merger.mlp.2.bias"] = torch.zeros(hidden)
+    torch.save(sd, os.path.join(dirpath, "pytorch_model.bin"))
+    with open(os.path.join(dirpath, "config.json"), "w") as fh:
+        json.dump(
+            {
+                "model_type": "qwen2_vl", "vocab_size": vocab,
+                "hidden_size": hidden, "intermediate_size": inter,
+                "num_hidden_layers": layers, "num_attention_heads": heads,
+                "num_key_value_heads": kv, "rms_norm_eps": 1e-5,
+                "rope_scaling": {"type": "mrope", "mrope_section": [2, 1, 1]},
+                "vision_config": {
+                    "embed_dim": vdim, "depth": vdepth, "num_heads": vheads,
+                    "mlp_ratio": 2, "patch_size": vps,
+                    "temporal_patch_size": 2, "spatial_merge_size": 2,
+                    "hidden_size": hidden, "hidden_act": "quick_gelu",
+                },
+            },
+            fh,
+        )
+    return patch_dim
+
+
+def test_vision_config_and_loader(tmp_path):
+    import jax
+
+    d = str(tmp_path / "qwen2vl")
+    _write_tiny_qwen2vl_ckpt(d)
+    lcfg = LLMConfig.from_pretrained_dir(d)
+    assert lcfg.model_type == "qwen2_vl"
+    assert lcfg.attention_bias is True
+    assert lcfg.mrope_section == (2, 1, 1)
+    vcfg = VisionConfig.from_pretrained_dir(d)
+    assert vcfg.embed_dim == 16 and vcfg.depth == 2 and vcfg.patch_size == 4
+
+    from mhrec_tpu.models.llm.loader import _load_state_dict
+
+    sd = _load_state_dict(d)
+    params = load_vision_params(sd, vcfg)
+    tower = VisionTower(vcfg, grid_h=4, grid_w=4, dtype=jnp.float32)
+    patches = np.random.default_rng(0).normal(size=(2, 16, vcfg.patch_dim))
+    out = tower.apply({"params": params}, jnp.asarray(patches, jnp.float32))
+    assert out.shape == (2, 4, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # patch_embed kernel equals the flattened Conv3d weight, transposed
+    np.testing.assert_allclose(
+        params["patch_embed"]["kernel"],
+        np.asarray(sd["visual.patch_embed.proj.weight"]).reshape(16, -1).T,
+    )
+
+
+def test_hllm_use_image_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """Full use_image run: tiny qwen2-vl item tower, images on disk for some
+    items, black fallback for the rest; one fit + evaluate."""
+    from PIL import Image
+
+    ckpt = str(tmp_path / "qwen2vl")
+    _write_tiny_qwen2vl_ckpt(ckpt)
+    image_dir = tmp_path / "images"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(0, 20):  # images for a subset of items (tokens i0..i19)
+        Image.fromarray(
+            rng.integers(0, 255, (20, 20, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_image=True,
+            image_dir=str(image_dir),
+            img_height=16, img_width=16,   # grid 4x4 -> 4 image tokens
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=16,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_img")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    n_pos = b["pos_tokens"].shape[0]
+    assert b["pos_pixel_patches"].shape == (n_pos, 16, 96)  # 4x4 patches, 3*2*4*4
+    # image prefix span occupies the head of every token row
+    assert (b["pos_tokens"][:, 1:5] == b["pos_tokens"][0, 1]).all()
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
