@@ -141,7 +141,10 @@ class HLLM(nn.Module):
                 vcfg = self.vision_config or VisionConfig.tiny(
                     self.item_config.hidden_size
                 )
-                self.visual = VisionTower(
+                from mhrec_tpu.models.llm.vision import ClipVisionTower
+
+                tower_cls = ClipVisionTower if vcfg.arch == "clip" else VisionTower
+                self.visual = tower_cls(
                     vcfg, grid_h=self.img_grid[0], grid_w=self.img_grid[1],
                     dtype=self.dtype,
                     gradient_checkpointing=self.gradient_checkpointing,
@@ -426,13 +429,13 @@ def load_pretrained_towers(params, config):
         if key == "item_llm" and "visual" in params:
             from mhrec_tpu.models.llm.loader import _load_state_dict
             from mhrec_tpu.models.llm.vision import (
-                VisionConfig, load_vision_params,
+                VisionConfig, has_vision_weights, load_any_vision_params,
             )
 
             try:
                 sd = _load_state_dict(path)
-                if any(k.startswith("visual.") for k in sd):
-                    params["visual"] = load_vision_params(
+                if has_vision_weights(sd):
+                    params["visual"] = load_any_vision_params(
                         sd, VisionConfig.from_pretrained_dir(path)
                     )
             except (FileNotFoundError, ValueError):

@@ -36,6 +36,11 @@ class LLMConfig:
         cfg_path = os.path.join(path, "config.json")
         with open(cfg_path) as fh:
             raw = json.load(fh)
+        if "hidden_size" not in raw and "text_config" in raw:
+            # llava-family configs nest the decoder under text_config
+            outer_type = raw.get("model_type", "")
+            raw = dict(raw["text_config"])
+            raw.setdefault("model_type", outer_type or "llama")
         model_type = raw.get("model_type", "llama")
         attention_bias = raw.get(
             "attention_bias", model_type in ("qwen2", "qwen2_vl")

@@ -63,12 +63,23 @@ def load_llama_params(path: str, config: LLMConfig, dtype=np.float32):
     D = config.hidden_size
     dh = D // h
 
+    def _key(name):
+        # bare (bert-style), HF decoder, and llava-family nestings
+        for k in (name, f"model.{name}", f"language_model.model.{name}",
+                  f"language_model.{name}"):
+            if k in sd:
+                return k
+        raise KeyError(name)
+
     def t(name):
-        key = name if name in sd else f"model.{name}"
-        return np.asarray(sd[key], dtype=dtype)
+        return np.asarray(sd[_key(name)], dtype=dtype)
 
     def has(name):
-        return name in sd or f"model.{name}" in sd
+        try:
+            _key(name)
+            return True
+        except KeyError:
+            return False
 
     params: Dict = {
         "embed_tokens": {"embedding": t("embed_tokens.weight")},

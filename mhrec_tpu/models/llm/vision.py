@@ -36,6 +36,10 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class VisionConfig:
+    # arch: "qwen2vl" (2D-RoPE ViT + 2x2 PatchMerger) or "clip" (CLIP/SigLIP
+    # ViT + multimodal projector — the LLaVA-family item towers the reference
+    # vendors in modeling_llava_next.py / modeling_llava_onevision.py)
+    arch: str = "qwen2vl"
     embed_dim: int = 1280
     depth: int = 32
     num_heads: int = 16
@@ -46,6 +50,9 @@ class VisionConfig:
     spatial_merge_size: int = 2
     hidden_size: int = 1536          # output dim = text tower hidden size
     hidden_act: str = "quick_gelu"
+    intermediate_size: int = 0       # clip: explicit MLP width
+    use_cls_token: bool = True       # clip: learned class token + abs pos emb
+    layer_norm_eps: float = 1e-6
 
     @property
     def patch_dim(self) -> int:
@@ -55,6 +62,10 @@ class VisionConfig:
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
 
+    @property
+    def mlp_dim(self) -> int:
+        return self.intermediate_size or self.embed_dim * self.mlp_ratio
+
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "VisionConfig":
         with open(os.path.join(path, "config.json")) as fh:
@@ -62,6 +73,26 @@ class VisionConfig:
         v = raw.get("vision_config")
         if v is None:
             raise ValueError(f"{path}/config.json has no vision_config")
+        text_hidden = raw.get("hidden_size") or (
+            raw.get("text_config", {}).get("hidden_size", 1536)
+        )
+        if v.get("model_type") in ("clip_vision_model", "siglip_vision_model") \
+                or raw.get("model_type", "").startswith("llava"):
+            return cls(
+                arch="clip",
+                embed_dim=v.get("hidden_size", 1024),
+                depth=v.get("num_hidden_layers", 24),
+                num_heads=v.get("num_attention_heads", 16),
+                intermediate_size=v.get("intermediate_size", 4096),
+                in_channels=v.get("num_channels", 3),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=1,
+                spatial_merge_size=1,
+                hidden_size=text_hidden,
+                hidden_act=v.get("hidden_act", "quick_gelu"),
+                use_cls_token=v.get("model_type") != "siglip_vision_model",
+                layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+            )
         return cls(
             embed_dim=v.get("embed_dim", 1280),
             depth=v.get("depth", 32),
@@ -71,7 +102,7 @@ class VisionConfig:
             patch_size=v.get("patch_size", 14),
             temporal_patch_size=v.get("temporal_patch_size", 2),
             spatial_merge_size=v.get("spatial_merge_size", 2),
-            hidden_size=v.get("hidden_size", raw.get("hidden_size", 1536)),
+            hidden_size=v.get("hidden_size", text_hidden),
             hidden_act=v.get("hidden_act", "quick_gelu"),
         )
 
@@ -178,6 +209,152 @@ class VisionTower(nn.Module):
         h = nn.gelu(h)
         return nn.Dense(c.hidden_size, use_bias=True, dtype=self.dtype,
                         name="merger_fc2")(h)
+
+
+class ClipVisionBlock(nn.Module):
+    config: VisionConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        D, H, dh = c.embed_dim, c.num_heads, c.head_dim
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="layer_norm1")(x)
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(h)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(h)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(h)
+        N, P, _ = q.shape
+        q = q.reshape(N, P, H, dh)
+        k = k.reshape(N, P, H, dh)
+        v = v.reshape(N, P, H, dh)
+        scores = jnp.einsum("nphd,nqhd->nhpq", q, k) / np.sqrt(dh)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("nhpq,nqhd->nphd", probs, v).reshape(N, P, D)
+        x = x + nn.Dense(D, dtype=self.dtype, name="out_proj")(ctx)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="layer_norm2")(x)
+        h = nn.Dense(c.mlp_dim, dtype=self.dtype, name="fc1")(h)
+        if c.hidden_act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h)
+        return x + nn.Dense(D, dtype=self.dtype, name="fc2")(h)
+
+
+class ClipVisionTower(nn.Module):
+    """CLIP/SigLIP ViT + LLaVA multimodal projector (reference
+    modeling_llava_next.py vision_tower + multi_modal_projector).
+
+    Patches [N, P, patch_dim] → image tokens [N, P, hidden_size]. Follows the
+    LLaVA default feature selection: hidden states from the penultimate
+    layer (``vision_feature_layer=-2``), class token dropped.
+    """
+
+    config: VisionConfig
+    grid_h: int
+    grid_w: int
+    dtype: Any = jnp.bfloat16
+    gradient_checkpointing: bool = False
+    feature_layer_offset: int = 1    # -2 ⇒ skip the last block
+
+    @nn.compact
+    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+        c = self.config
+        N, P, _ = patches.shape
+        x = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
+                     name="patch_embed")(patches.astype(self.dtype))
+        n_pos = P + (1 if c.use_cls_token else 0)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (n_pos, c.embed_dim))
+        # a pretrained table for a larger grid is sliced (exact when the run
+        # resolution matches the checkpoint's, e.g. 224 for CLIP-L/14)
+        pos = pos[:n_pos]
+        if c.use_cls_token:
+            cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                             (c.embed_dim,))
+            cls_tok = jnp.broadcast_to(
+                cls.astype(self.dtype)[None, None, :], (N, 1, c.embed_dim)
+            )
+            x = jnp.concatenate([cls_tok, x], axis=1)
+        x = x + pos.astype(self.dtype)[None]
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="pre_layernorm")(x)
+        block_cls = ClipVisionBlock
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(ClipVisionBlock)
+        n_blocks = c.depth - self.feature_layer_offset
+        for i in range(n_blocks):
+            x = block_cls(c, self.dtype, name=f"blocks_{i}")(x)
+        if c.use_cls_token:
+            x = x[:, 1:]             # drop CLS (LLaVA "default" strategy)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc1")(x)
+        h = nn.gelu(h)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc2")(h)
+
+
+def load_clip_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
+                            dtype=np.float32) -> Dict:
+    """Map HF LLaVA ``vision_tower.vision_model.*`` + projector weights onto
+    :class:`ClipVisionTower` params."""
+    pre = "vision_tower.vision_model"
+
+    def t(name):
+        return np.asarray(sd[name], dtype=dtype)
+
+    params: Dict = {
+        "patch_embed": {
+            "kernel": t(f"{pre}.embeddings.patch_embedding.weight")
+            .reshape(config.embed_dim, -1).T
+        },
+        "position_embedding": t(f"{pre}.embeddings.position_embedding.weight"),
+        "pre_layernorm": {
+            # HF spells it "pre_layrnorm"
+            "scale": t(f"{pre}.pre_layrnorm.weight"),
+            "bias": t(f"{pre}.pre_layrnorm.bias"),
+        },
+        "proj_fc1": {"kernel": t("multi_modal_projector.linear_1.weight").T,
+                     "bias": t("multi_modal_projector.linear_1.bias")},
+        "proj_fc2": {"kernel": t("multi_modal_projector.linear_2.weight").T,
+                     "bias": t("multi_modal_projector.linear_2.bias")},
+    }
+    if config.use_cls_token:
+        params["class_embedding"] = t(f"{pre}.embeddings.class_embedding")
+    for i in range(config.depth - 1):   # feature layer -2: last block unused
+        lp = f"{pre}.encoder.layers.{i}"
+        params[f"blocks_{i}"] = {
+            "layer_norm1": {"scale": t(f"{lp}.layer_norm1.weight"),
+                            "bias": t(f"{lp}.layer_norm1.bias")},
+            "layer_norm2": {"scale": t(f"{lp}.layer_norm2.weight"),
+                            "bias": t(f"{lp}.layer_norm2.bias")},
+            "q_proj": {"kernel": t(f"{lp}.self_attn.q_proj.weight").T,
+                       "bias": t(f"{lp}.self_attn.q_proj.bias")},
+            "k_proj": {"kernel": t(f"{lp}.self_attn.k_proj.weight").T,
+                       "bias": t(f"{lp}.self_attn.k_proj.bias")},
+            "v_proj": {"kernel": t(f"{lp}.self_attn.v_proj.weight").T,
+                       "bias": t(f"{lp}.self_attn.v_proj.bias")},
+            "out_proj": {"kernel": t(f"{lp}.self_attn.out_proj.weight").T,
+                         "bias": t(f"{lp}.self_attn.out_proj.bias")},
+            "fc1": {"kernel": t(f"{lp}.mlp.fc1.weight").T,
+                    "bias": t(f"{lp}.mlp.fc1.bias")},
+            "fc2": {"kernel": t(f"{lp}.mlp.fc2.weight").T,
+                    "bias": t(f"{lp}.mlp.fc2.bias")},
+        }
+    return params
+
+
+def load_any_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
+                           dtype=np.float32) -> Dict:
+    """Dispatch on the tower architecture."""
+    if config.arch == "clip":
+        return load_clip_vision_params(sd, config, dtype)
+    return load_vision_params(sd, config, dtype)
+
+
+def has_vision_weights(sd: Dict[str, np.ndarray]) -> bool:
+    return any(
+        k.startswith("visual.") or k.startswith("vision_tower.") for k in sd
+    )
 
 
 def load_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,

@@ -116,8 +116,16 @@ class Trainer:
         self.best_valid_score: Optional[float] = None
         self.best_valid_result = None
         ckpt_dir = config["checkpoint_dir"] or "./saved"
+        # run naming mirrors the reference's
+        # "{model}-{dataset}-{save_model_note}.pth" (trainer.py:110)
+        run_name = str(config["model"])
+        if config.get("dataset"):
+            run_name += f"-{config['dataset']}"
+        if config.get("save_model_note"):
+            run_name += f"-{config['save_model_note']}"
+        self.run_name = run_name
         self.saved_model_dir = os.path.abspath(
-            os.path.join(ckpt_dir, str(config["model"]), "ckpt")
+            os.path.join(ckpt_dir, run_name, "ckpt")
         )
         self._ckpt_mgr = None
         self._jit_train_step = None

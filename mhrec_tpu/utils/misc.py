@@ -77,3 +77,14 @@ def calculate_valid_score(
     if valid_metric and valid_metric.lower() in lowered:
         return float(lowered[valid_metric.lower()])
     raise KeyError(f"valid_metric {valid_metric!r} not in result keys {list(inner)[:8]}")
+
+
+def random_reorder(x, rng_key):
+    """[Testing only] Independently permute each row of ``x`` [B, T] — the
+    reference's order-sensitivity probe (hllm.py:28-37)."""
+    import jax
+
+    B, T = x.shape
+    keys = jax.random.split(rng_key, B)
+    perms = jax.numpy.stack([jax.random.permutation(k, T) for k in keys])
+    return jax.numpy.take_along_axis(x, perms, axis=1)

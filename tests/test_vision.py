@@ -283,3 +283,143 @@ def test_hllm_use_image_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     assert stats["iters"] == 2
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def _write_tiny_llava_ckpt(dirpath, vocab=96, hidden=32, layers=2, heads=4,
+                           kv=2, vps=4, vdim=16, vdepth=2, img=16):
+    """Tiny HF-style llava_next checkpoint: text_config-nested llama decoder
+    under language_model.*, CLIP vision tower + multimodal projector."""
+    import torch
+
+    os.makedirs(dirpath, exist_ok=True)
+    inter = hidden * 2
+    dh = hidden // heads
+    g = torch.Generator().manual_seed(11)
+    sd = {}
+    P = f"language_model.model"
+    sd[f"{P}.embed_tokens.weight"] = torch.randn(vocab, hidden, generator=g) * 0.02
+    sd[f"{P}.norm.weight"] = torch.ones(hidden)
+    for i in range(layers):
+        p = f"{P}.layers.{i}"
+        sd[f"{p}.self_attn.q_proj.weight"] = torch.randn(heads * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.k_proj.weight"] = torch.randn(kv * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.v_proj.weight"] = torch.randn(kv * dh, hidden, generator=g) * 0.05
+        sd[f"{p}.self_attn.o_proj.weight"] = torch.randn(hidden, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.gate_proj.weight"] = torch.randn(inter, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.up_proj.weight"] = torch.randn(inter, hidden, generator=g) * 0.05
+        sd[f"{p}.mlp.down_proj.weight"] = torch.randn(hidden, inter, generator=g) * 0.05
+        sd[f"{p}.input_layernorm.weight"] = torch.ones(hidden)
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.ones(hidden)
+    V = "vision_tower.vision_model"
+    n_patches = (img // vps) ** 2
+    vmlp = vdim * 2
+    sd[f"{V}.embeddings.class_embedding"] = torch.randn(vdim, generator=g) * 0.02
+    sd[f"{V}.embeddings.patch_embedding.weight"] = torch.randn(vdim, 3, vps, vps, generator=g) * 0.05
+    sd[f"{V}.embeddings.position_embedding.weight"] = torch.randn(n_patches + 1, vdim, generator=g) * 0.02
+    sd[f"{V}.pre_layrnorm.weight"] = torch.ones(vdim)
+    sd[f"{V}.pre_layrnorm.bias"] = torch.zeros(vdim)
+    for i in range(vdepth - 1):
+        p = f"{V}.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{p}.{ln}.weight"] = torch.ones(vdim)
+            sd[f"{p}.{ln}.bias"] = torch.zeros(vdim)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{p}.self_attn.{proj}.weight"] = torch.randn(vdim, vdim, generator=g) * 0.05
+            sd[f"{p}.self_attn.{proj}.bias"] = torch.zeros(vdim)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(vmlp, vdim, generator=g) * 0.05
+        sd[f"{p}.mlp.fc1.bias"] = torch.zeros(vmlp)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(vdim, vmlp, generator=g) * 0.05
+        sd[f"{p}.mlp.fc2.bias"] = torch.zeros(vdim)
+    sd["multi_modal_projector.linear_1.weight"] = torch.randn(hidden, vdim, generator=g) * 0.05
+    sd["multi_modal_projector.linear_1.bias"] = torch.zeros(hidden)
+    sd["multi_modal_projector.linear_2.weight"] = torch.randn(hidden, hidden, generator=g) * 0.05
+    sd["multi_modal_projector.linear_2.bias"] = torch.zeros(hidden)
+    torch.save(sd, os.path.join(dirpath, "pytorch_model.bin"))
+    with open(os.path.join(dirpath, "config.json"), "w") as fh:
+        json.dump(
+            {
+                "model_type": "llava_next",
+                "text_config": {
+                    "model_type": "llama", "vocab_size": vocab,
+                    "hidden_size": hidden, "intermediate_size": inter,
+                    "num_hidden_layers": layers, "num_attention_heads": heads,
+                    "num_key_value_heads": kv, "rms_norm_eps": 1e-5,
+                },
+                "vision_config": {
+                    "model_type": "clip_vision_model", "hidden_size": vdim,
+                    "num_hidden_layers": vdepth, "num_attention_heads": 4,
+                    "intermediate_size": vmlp, "patch_size": vps,
+                    "image_size": img, "hidden_act": "quick_gelu",
+                },
+            },
+            fh,
+        )
+
+
+def test_llava_clip_tower_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """LLaVA-family item tower: text_config parsing, language_model.* weight
+    nesting, CLIP vision tower, one fit + evaluate."""
+    from PIL import Image
+
+    from mhrec_tpu.models.llm.vision import ClipVisionTower
+
+    ckpt = str(tmp_path / "llava")
+    _write_tiny_llava_ckpt(ckpt)
+    lcfg = LLMConfig.from_pretrained_dir(ckpt)
+    assert lcfg.hidden_size == 32 and lcfg.model_type == "llama"
+    vcfg = VisionConfig.from_pretrained_dir(ckpt)
+    assert vcfg.arch == "clip" and vcfg.temporal_patch_size == 1
+    assert vcfg.spatial_merge_size == 1
+
+    from mhrec_tpu.models.llm.loader import _load_state_dict
+    from mhrec_tpu.models.llm.vision import load_any_vision_params
+
+    sd = _load_state_dict(ckpt)
+    params = load_any_vision_params(sd, vcfg)
+    tower = ClipVisionTower(vcfg, grid_h=4, grid_w=4, dtype=jnp.float32)
+    patches = np.random.default_rng(0).normal(size=(2, 16, vcfg.patch_dim))
+    out = tower.apply({"params": params}, jnp.asarray(patches, jnp.float32))
+    assert out.shape == (2, 16, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    image_dir = tmp_path / "imgs"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(10):
+        Image.fromarray(
+            rng.integers(0, 255, (20, 20, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_image=True,
+            image_dir=str(image_dir),
+            img_height=16, img_width=16,   # 4x4 patches -> 16 image tokens
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=24,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_llava")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
