@@ -420,9 +420,12 @@ def load_pretrained_towers(params, config):
         if config.get(init_key, True) is False:
             continue
         cfg = LLMConfig.from_pretrained_dir(path)
-        if cfg.model_type == "bert":
-            continue  # bert checkpoint mapping lands with the bert loader
         try:
+            if cfg.model_type == "bert":
+                from mhrec_tpu.models.llm.loader import load_bert_params
+
+                params[key] = load_bert_params(path, cfg)
+                continue
             params[key] = load_llama_params(path, cfg)
         except FileNotFoundError:
             continue

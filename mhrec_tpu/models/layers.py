@@ -115,7 +115,9 @@ class TransformerLayer(nn.Module):
         ctx = nn.Dropout(self.hidden_dropout_prob)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="attn_ln")(x + ctx)
 
-        act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu,
+        # "gelu" is the exact erf form (HF/RecBole torch.nn.functional.gelu)
+        act = {"gelu": lambda t: nn.gelu(t, approximate=False),
+               "relu": nn.relu, "silu": nn.silu,
                "swish": nn.silu, "tanh": jnp.tanh}[self.hidden_act]
         ff = nn.Dense(self.inner_size, name="ff_in")(x)
         ff = act(ff)

@@ -57,7 +57,7 @@ class LLMConfig:
                 "num_key_value_heads", raw["num_attention_heads"]
             ),
             max_position_embeddings=raw.get("max_position_embeddings", 2048),
-            rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+            rms_norm_eps=raw.get("rms_norm_eps", raw.get("layer_norm_eps", 1e-5)),
             rope_theta=raw.get("rope_theta", 10000.0),
             attention_bias=attention_bias,
             tie_word_embeddings=raw.get("tie_word_embeddings", False),

@@ -118,3 +118,60 @@ def load_llama_params(path: str, config: LLMConfig, dtype=np.float32):
             },
         }
     return params
+
+
+def load_bert_params(path: str, config: LLMConfig, dtype=np.float32):
+    """HF BertModel checkpoint → flax params for BertBackbone.
+
+    HF adds word + position + token-type embeddings before the embedding
+    LayerNorm; item text always uses token type 0, so the type-0 row is
+    folded into the position-embedding table (exact). Separate q/k/v
+    projections are stacked into the fused DenseGeneral qkv kernel.
+    """
+    sd = _load_state_dict(path)
+
+    def t(name):
+        for k in (name, f"bert.{name}", f"model.{name}"):
+            if k in sd:
+                return np.asarray(sd[k], dtype=dtype)
+        raise KeyError(name)
+
+    D = config.hidden_size
+    h = config.num_attention_heads
+    dh = D // h
+
+    pos = t("embeddings.position_embeddings.weight")
+    try:
+        pos = pos + t("embeddings.token_type_embeddings.weight")[0][None, :]
+    except KeyError:
+        pass
+    params = {
+        "word_embeddings": {"embedding": t("embeddings.word_embeddings.weight")},
+        "position_embeddings": {"embedding": pos},
+        "embeddings_ln": {"scale": t("embeddings.LayerNorm.weight"),
+                          "bias": t("embeddings.LayerNorm.bias")},
+        "encoder": {},
+    }
+    for i in range(config.num_hidden_layers):
+        p = f"encoder.layer.{i}"
+        q_k = t(f"{p}.attention.self.query.weight").T.reshape(D, h, dh)
+        k_k = t(f"{p}.attention.self.key.weight").T.reshape(D, h, dh)
+        v_k = t(f"{p}.attention.self.value.weight").T.reshape(D, h, dh)
+        q_b = t(f"{p}.attention.self.query.bias").reshape(h, dh)
+        k_b = t(f"{p}.attention.self.key.bias").reshape(h, dh)
+        v_b = t(f"{p}.attention.self.value.bias").reshape(h, dh)
+        params["encoder"][f"layer_{i}"] = {
+            "qkv": {"kernel": np.stack([q_k, k_k, v_k], axis=1),
+                    "bias": np.stack([q_b, k_b, v_b], axis=0)},
+            "attn_out": {"kernel": t(f"{p}.attention.output.dense.weight").T,
+                         "bias": t(f"{p}.attention.output.dense.bias")},
+            "attn_ln": {"scale": t(f"{p}.attention.output.LayerNorm.weight"),
+                        "bias": t(f"{p}.attention.output.LayerNorm.bias")},
+            "ff_in": {"kernel": t(f"{p}.intermediate.dense.weight").T,
+                      "bias": t(f"{p}.intermediate.dense.bias")},
+            "ff_out": {"kernel": t(f"{p}.output.dense.weight").T,
+                       "bias": t(f"{p}.output.dense.bias")},
+            "ff_ln": {"scale": t(f"{p}.output.LayerNorm.weight"),
+                      "bias": t(f"{p}.output.LayerNorm.bias")},
+        }
+    return params

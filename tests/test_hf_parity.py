@@ -1,0 +1,225 @@
+"""Numerical parity of the flax backbones against Hugging Face torch
+implementations (the reference's towers are patched copies of these HF
+classes, so matching HF hidden states = matching the reference's math).
+
+All runs are fp32 CPU at tiny shapes; tolerances cover op-order noise.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from mhrec_tpu.models.llm.config import LLMConfig
+from mhrec_tpu.models.llm.llama import LlamaBackbone
+from mhrec_tpu.models.llm.loader import load_llama_params
+
+
+def _tiny_hf_llama(vocab=64, hidden=32, layers=2, heads=4, kv=2):
+    from transformers import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=hidden * 2,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv, rms_norm_eps=1e-5, max_position_embeddings=128,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    return LlamaModel(cfg).eval(), cfg
+
+
+def _save_hf(model, cfg, dirpath, model_type="llama", extra_cfg=None):
+    os.makedirs(dirpath, exist_ok=True)
+    sd = {f"model.{k}": v for k, v in model.state_dict().items()}
+    torch.save(sd, os.path.join(dirpath, "pytorch_model.bin"))
+    raw = {
+        "model_type": model_type, "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": getattr(cfg, "rope_theta", 10000.0),
+    }
+    raw.update(extra_cfg or {})
+    with open(os.path.join(dirpath, "config.json"), "w") as fh:
+        json.dump(raw, fh)
+
+
+def test_llama_backbone_matches_hf(tmp_path):
+    """Same weights, same input → same last hidden state as HF LlamaModel
+    (causal mask, RoPE, GQA, SwiGLU all line up)."""
+    hf, cfg = _tiny_hf_llama()
+    d = str(tmp_path / "llama")
+    _save_hf(hf, cfg, d)
+
+    lcfg = LLMConfig.from_pretrained_dir(d)
+    params = load_llama_params(d, lcfg)
+    model = LlamaBackbone(lcfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, (3, 10))
+    mask = np.ones((3, 10), np.int64)
+    mask[1, 7:] = 0  # ragged row
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    out = np.asarray(
+        model.apply(
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+        )
+    )
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(out[keep], ref[keep], rtol=2e-4, atol=2e-4)
+
+
+def test_llama_backbone_qkv_bias_matches_hf_qwen2_style(tmp_path):
+    """attention_bias=True path (qwen2) against HF LlamaConfig with bias."""
+    from transformers import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(
+        vocab_size=48, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+        rms_norm_eps=1e-5, attention_bias=True, attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    hf = LlamaModel(cfg).eval()
+    # give the biases non-zero values
+    with torch.no_grad():
+        for layer in hf.layers:
+            for proj in (layer.self_attn.q_proj, layer.self_attn.k_proj,
+                         layer.self_attn.v_proj):
+                proj.bias.normal_(0, 0.05)
+    d = str(tmp_path / "qwen2ish")
+    _save_hf(hf, cfg, d, extra_cfg={"attention_bias": True})
+
+    lcfg = LLMConfig.from_pretrained_dir(d)
+    assert lcfg.attention_bias
+    params = load_llama_params(d, lcfg)
+    model = LlamaBackbone(lcfg, dtype=jnp.float32)
+    ids = np.arange(1, 9)[None, :]
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    out = np.asarray(
+        model.apply({"params": params}, input_ids=jnp.asarray(ids))
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bert_backbone_matches_hf(tmp_path):
+    """Same weights (incl. token-type-0 folding and fused qkv stacking) →
+    same hidden states as HF BertModel."""
+    from transformers import BertConfig, BertModel
+
+    from mhrec_tpu.models.llm.bert import BertBackbone
+    from mhrec_tpu.models.llm.loader import load_bert_params
+
+    cfg = BertConfig(
+        vocab_size=60, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=64, type_vocab_size=2,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    hf = BertModel(cfg, add_pooling_layer=False).eval()
+    d = str(tmp_path / "bert")
+    os.makedirs(d)
+    torch.save(hf.state_dict(), os.path.join(d, "pytorch_model.bin"))
+    with open(os.path.join(d, "config.json"), "w") as fh:
+        json.dump(
+            {
+                "model_type": "bert", "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "intermediate_size": cfg.intermediate_size,
+                "max_position_embeddings": cfg.max_position_embeddings,
+                "type_vocab_size": cfg.type_vocab_size,
+                "layer_norm_eps": cfg.layer_norm_eps,
+                "hidden_act": cfg.hidden_act,
+            },
+            fh,
+        )
+
+    lcfg = LLMConfig.from_pretrained_dir(d)
+    assert lcfg.rms_norm_eps == cfg.layer_norm_eps
+    params = load_bert_params(d, lcfg)
+    model = BertBackbone(lcfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, cfg.vocab_size, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[0, 9:] = 0
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    out = np.asarray(
+        model.apply(
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+        )
+    )
+    keep = mask.astype(bool)
+    np.testing.assert_allclose(out[keep], ref[keep], rtol=3e-4, atol=3e-4)
+
+
+def test_qwen2vl_vision_tower_matches_hf():
+    """Our VisionTower vs HF Qwen2VisionTransformerPretrainedModel on the
+    same random weights and a fixed 2×(4×4) grid."""
+    try:
+        from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+            Qwen2VisionTransformerPretrainedModel,
+        )
+        from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+            Qwen2VLVisionConfig,
+        )
+    except ImportError:
+        pytest.skip("transformers lacks qwen2_vl")
+
+    from mhrec_tpu.models.llm.vision import (
+        VisionConfig, VisionTower, load_vision_params,
+    )
+
+    vps, vdim, vdepth = 4, 16, 2
+    hf_cfg = Qwen2VLVisionConfig(
+        depth=vdepth, embed_dim=vdim, hidden_size=24, num_heads=4,
+        mlp_ratio=2, patch_size=vps, temporal_patch_size=2,
+        spatial_merge_size=2, in_channels=3,
+    )
+    torch.manual_seed(9)
+    hf = Qwen2VisionTransformerPretrainedModel(hf_cfg).float().eval()
+    sd = {f"visual.{k}": v.numpy() for k, v in hf.state_dict().items()}
+
+    vcfg = VisionConfig(
+        embed_dim=vdim, depth=vdepth, num_heads=4, mlp_ratio=2,
+        patch_size=vps, temporal_patch_size=2, spatial_merge_size=2,
+        hidden_size=24, hidden_act="quick_gelu",
+    )
+    params = load_vision_params(sd, vcfg)
+    grid = 4
+    n_patches = grid * grid
+    rng = np.random.default_rng(2)
+    # two images
+    patches = rng.normal(size=(2, n_patches, vcfg.patch_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        flat = torch.tensor(patches.reshape(-1, vcfg.patch_dim))
+        grid_thw = torch.tensor([[1, grid, grid], [1, grid, grid]])
+        ref = hf(flat, grid_thw=grid_thw).numpy()  # [2*4, 24]
+
+    tower = VisionTower(vcfg, grid_h=grid, grid_w=grid, dtype=jnp.float32)
+    out = np.asarray(tower.apply({"params": params}, jnp.asarray(patches)))
+    np.testing.assert_allclose(
+        out.reshape(-1, 24), ref, rtol=3e-4, atol=3e-4
+    )
