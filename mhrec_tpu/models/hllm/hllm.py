@@ -382,13 +382,19 @@ class HLLM(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def predict_embeddings(self, item_seq, target_tags=None, item_feature_table=None):
+    def predict_embeddings(self, item_seq, target_tags=None,
+                           item_feature_table=None, seq_embeds=None):
         """Eval path: user tower over table-lookup item embeddings
-        (reference hllm.py:765-800)."""
-        assert item_feature_table is not None, "HLLM predict needs the item table"
+        (reference hllm.py:765-800). ``seq_embeds`` [B, L, D] bypasses the
+        on-device table gather — used when the corpus table is host-resident
+        (gathered host-side) at corpus scales that exceed HBM."""
         attn = (item_seq > 0).astype(jnp.int32)
-        embeds = item_feature_table[item_seq].astype(self.dtype)
-        hidden = self.user_llm(inputs_embeds=embeds, attention_mask=attn)
+        if seq_embeds is None:
+            assert item_feature_table is not None, "HLLM predict needs the item table"
+            seq_embeds = item_feature_table[item_seq]
+        hidden = self.user_llm(
+            inputs_embeds=seq_embeds.astype(self.dtype), attention_mask=attn
+        )
         return predict_switch_and_heads(self, hidden[:, -1], target_tags)
 
     def score_items(self, head_embs, item_feats, item_tags, target_tags, switch_pred):

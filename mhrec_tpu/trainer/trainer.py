@@ -514,7 +514,7 @@ class Trainer:
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
-    def compute_item_feature(self):
+    def compute_item_feature(self, return_host: bool = False):
         """Corpus item embeddings (reference compute_item_feature,
         trainer.py:731-824). ID models: one normalized matrix. Text models:
         chunked item-tower pass over the whole corpus → RAW embedding table
@@ -542,7 +542,8 @@ class Trainer:
                     jnp.asarray(px) if px is not None else None,
                 )
                 chunks.append(np.asarray(emb)[: cb["n_real"]])
-            return jnp.asarray(np.concatenate(chunks, axis=0))
+            host = np.concatenate(chunks, axis=0)
+            return host if return_host else jnp.asarray(host)
         if not hasattr(self, "_item_feat_fn") or self._item_feat_fn is None:
             self._item_feat_fn = jax.jit(
                 lambda p: self.model.apply(
@@ -555,19 +556,36 @@ class Trainer:
         if load_best_model:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")
-        item_feats = self.compute_item_feature()
-        raw_item_table = None
-        if getattr(self.model, "needs_item_corpus_pass", False):
-            # text models: raw table feeds the user tower; normalized copy
-            # feeds cosine scoring (reference hllm predict normalizes a copy)
-            raw_item_table = item_feats
-            norm = jnp.linalg.norm(item_feats, axis=-1, keepdims=True)
-            item_feats = item_feats / jnp.clip(norm, 1e-12, None)
-        item_tags = (
-            jnp.asarray(self.dataload.item_tag_matrix)
-            if self.dataload.item_tag_matrix is not None
-            else None
+        needs_corpus = getattr(self.model, "needs_item_corpus_pass", False)
+        # rank-based metrics (GAUC) and raw-score resources need the full
+        # [B, H, I] score tensor — only feasible for corpora that fit
+        need_full = self.collector.register.need("rec.meanrank") or (
+            self.collector.register.need("rec.score")
         )
+        host_mode = self._use_host_item_table(needs_corpus, need_full)
+        raw_item_table = None
+        raw_host = norm_host = None
+        item_feats = None
+        if host_mode:
+            # corpus-scale: item table stays in host RAM; eval streams each
+            # item chunk to the device exactly once (chunk-outer loop)
+            raw_host = self.compute_item_feature(return_host=True)
+            norm = np.linalg.norm(raw_host, axis=-1, keepdims=True)
+            norm_host = raw_host / np.clip(norm, 1e-12, None)
+        else:
+            item_feats = self.compute_item_feature()
+            if needs_corpus:
+                # text models: raw table feeds the user tower; normalized copy
+                # feeds cosine scoring (reference hllm predict normalizes a copy)
+                raw_item_table = item_feats
+                norm = jnp.linalg.norm(item_feats, axis=-1, keepdims=True)
+                item_feats = item_feats / jnp.clip(norm, 1e-12, None)
+        item_tags = None
+        if self.dataload.item_tag_matrix is not None:
+            item_tags = (
+                np.asarray(self.dataload.item_tag_matrix) if host_mode
+                else jnp.asarray(self.dataload.item_tag_matrix)
+            )
         if self.dataload.item_orig_tag_matrix is not None:
             # Entropy is computed over the ORIGINAL tags even under the
             # random_tags/all_tags ablations (reference trainer.py:823 passes
@@ -578,48 +596,20 @@ class Trainer:
         switch_correct_sum = None
         n_eval_samples = 0
 
-        if not hasattr(self, "_predict_fn") or self._predict_fn is None:
-            if raw_item_table is not None:
-                self._predict_fn = jax.jit(
-                    lambda p, seq, tt, table: self.model.apply(
-                        {"params": p, **self.extra_vars}, seq, tt, table,
-                        method="predict_embeddings",
-                    )
-                )
-            else:
-                self._predict_fn = jax.jit(
-                    lambda p, seq, tt: self.model.apply(
-                        {"params": p, **self.extra_vars}, seq, tt,
-                        method="predict_embeddings",
-                    )
-                )
-        predict_fn = self._predict_fn
-
-        for batch in eval_batcher.batches():
-            n_real = int(batch["sample_weight"].sum())
-            if n_real == 0:
-                continue
-            predict_args = [
-                self.state.params,
-                jnp.asarray(batch["item_seq"]),
-                jnp.asarray(batch["target_tags"]),
-            ]
-            if raw_item_table is not None:
-                predict_args.append(raw_item_table)
-            pe = predict_fn(*predict_args)
-
-            # rank-based metrics (GAUC) and raw-score resources need the full
-            # [B, H, I] score tensor — only feasible for corpora that fit;
-            # the streamed-topk path serves every top-k metric otherwise
-            need_full = self.collector.register.need("rec.meanrank") or (
-                self.collector.register.need("rec.score")
+        if host_mode:
+            results = self._host_table_topk_results(
+                eval_batcher, raw_host, norm_host, item_tags, top_k
             )
+        else:
+            results = self._device_topk_results(
+                eval_batcher, item_feats, raw_item_table, item_tags, top_k,
+                need_full,
+            )
+        for batch, n_real, topk_vals, topk_idx, pe in results:
             if need_full:
-                full_scores = np.asarray(
-                    self._full_scores(pe, item_feats, item_tags, batch)
-                )[:n_real]
+                # topk_vals carries the full [n_real, H, I] scores here
                 self.collector.eval_batch_collect(
-                    scores=full_scores,
+                    scores=topk_vals,
                     positive_i=batch["item_target"][:n_real],
                     tag_category=batch["target_tags"][:n_real],
                     outlier_users=batch["outlier_users"][:n_real],
@@ -627,11 +617,6 @@ class Trainer:
                 n_eval_samples += n_real
                 continue
 
-            topk_vals, topk_idx = self._stream_score_topk(
-                pe, item_feats, item_tags, batch, top_k
-            )
-            topk_vals = np.asarray(topk_vals)[:n_real]
-            topk_idx = np.asarray(topk_idx)[:n_real]
             if self.save_for_eval and self.process_index == 0:
                 save_eval_chunk(
                     os.path.join(self.saved_model_dir, "saved_eval"),
@@ -758,6 +743,170 @@ class Trainer:
         return float(np.sum(arr))
 
     # ------------------------------------------------------------------
+    def _use_host_item_table(self, needs_corpus: bool, need_full: bool) -> bool:
+        """Corpus tables larger than the HBM budget stay in host RAM and
+        stream through the device chunk-by-chunk (config ``host_item_table``:
+        auto | true | false; budget ``item_table_hbm_budget_gb``)."""
+        mode = self.config.get("host_item_table", "auto")
+        if mode in (False, "false", "False") or not needs_corpus:
+            return False
+        if need_full:
+            if mode in (True, "true", "True"):
+                raise ValueError(
+                    "host_item_table is incompatible with full-score metrics "
+                    "(GAUC/meanrank/rec.score need [B, H, I] score tensors)"
+                )
+            return False
+        if mode in (True, "true", "True"):
+            return True
+        D = getattr(getattr(self.model, "item_config", None), "hidden_size", 0)
+        est_bytes = float(self.dataload.item_num) * max(D, 1) * 4
+        budget = float(self.config.get("item_table_hbm_budget_gb", 4.0) or 4.0)
+        return est_bytes > budget * (1 << 30)
+
+    def _get_predict_fn(self, kind: str):
+        """jitted predict_embeddings variant: 'plain' | 'table' | 'seq_embeds'."""
+        cache = getattr(self, "_predict_fns", None)
+        if cache is None:
+            cache = self._predict_fns = {}
+        if kind not in cache:
+            if kind == "table":
+                cache[kind] = jax.jit(
+                    lambda p, seq, tt, table: self.model.apply(
+                        {"params": p, **self.extra_vars}, seq, tt, table,
+                        method="predict_embeddings",
+                    )
+                )
+            elif kind == "seq_embeds":
+                cache[kind] = jax.jit(
+                    lambda p, seq, tt, se: self.model.apply(
+                        {"params": p, **self.extra_vars}, seq, tt, None, se,
+                        method="predict_embeddings",
+                    )
+                )
+            else:
+                cache[kind] = jax.jit(
+                    lambda p, seq, tt: self.model.apply(
+                        {"params": p, **self.extra_vars}, seq, tt,
+                        method="predict_embeddings",
+                    )
+                )
+        return cache[kind]
+
+    def _device_topk_results(self, eval_batcher, item_feats, raw_item_table,
+                             item_tags, top_k, need_full):
+        """Per-batch predict + streamed top-k with a device-resident table.
+        With ``need_full`` the full masked score tensor rides in the
+        topk_vals slot (GAUC / rec.score path)."""
+        predict_fn = self._get_predict_fn(
+            "table" if raw_item_table is not None else "plain"
+        )
+        for batch in eval_batcher.batches():
+            n_real = int(batch["sample_weight"].sum())
+            if n_real == 0:
+                continue
+            predict_args = [
+                self.state.params,
+                jnp.asarray(batch["item_seq"]),
+                jnp.asarray(batch["target_tags"]),
+            ]
+            if raw_item_table is not None:
+                predict_args.append(raw_item_table)
+            pe = predict_fn(*predict_args)
+            if need_full:
+                full_scores = np.asarray(
+                    self._full_scores(pe, item_feats, item_tags, batch)
+                )[:n_real]
+                yield batch, n_real, full_scores, None, pe
+                continue
+            topk_vals, topk_idx = self._stream_score_topk(
+                pe, item_feats, item_tags, batch, top_k
+            )
+            yield (batch, n_real, np.asarray(topk_vals)[:n_real],
+                   np.asarray(topk_idx)[:n_real], pe)
+
+    @staticmethod
+    def _bucketed_history(batch, suppress: bool):
+        hr, hc = batch["history_row"], batch["history_col"]
+        if suppress and len(hr):
+            n = len(hr)
+            bucket = 1 << (n - 1).bit_length()
+            hist_r = np.zeros(bucket, np.int32)
+            hist_c = np.full(bucket, -1, np.int32)
+            hist_r[:n] = hr
+            hist_c[:n] = hc
+        else:
+            hist_r = np.zeros(1, np.int32)
+            hist_c = np.full(1, -1, np.int32)
+        return hist_r, hist_c
+
+    def _host_table_topk_results(self, eval_batcher, raw_host, norm_host,
+                                 item_tags, top_k):
+        """Corpus-scale eval with a HOST-resident item table: phase A runs
+        the user tower for every eval batch (sequence embeddings gathered
+        host-side), phase B streams each normalized item chunk to the device
+        ONCE and advances every batch's running top-k (kept on device).
+
+        Total H2D traffic = one pass over the table, independent of the
+        number of eval batches — vs. the reference's per-GPU replicated
+        table (hstu.py:979 full matmul), which cannot fit 8M×1024 on a
+        single chip."""
+        if self._chunk_scorer is None:
+            self._chunk_scorer = self._make_chunk_scorer()
+        predict_fn = self._get_predict_fn("seq_embeds")
+        states = []
+        for batch in eval_batcher.batches():
+            n_real = int(batch["sample_weight"].sum())
+            if n_real == 0:
+                continue
+            seq_embeds = raw_host[batch["item_seq"]]       # host gather [B,L,D]
+            pe = predict_fn(
+                self.state.params,
+                jnp.asarray(batch["item_seq"]),
+                jnp.asarray(batch["target_tags"]),
+                jnp.asarray(seq_embeds),
+            )
+            hist_r, hist_c = self._bucketed_history(batch, self.suppress_history)
+            B, H, _ = pe["head_embs"].shape
+            Heff = 1 if (self.config["split_mode"] == "average" and H > 1) else H
+            states.append({
+                "batch": batch, "n_real": n_real,
+                "head_embs": pe["head_embs"],
+                "switch_pred": pe.get("switch_pred"),
+                "pe_host": {k: np.asarray(v) for k, v in pe.items()},
+                "tgt": jnp.asarray(batch["target_tags"]),
+                "hist_r": jnp.asarray(hist_r), "hist_c": jnp.asarray(hist_c),
+                "run_vals": jnp.full((B, Heff, top_k), -jnp.inf, jnp.float32),
+                "run_idx": jnp.zeros((B, Heff, top_k), jnp.int32),
+            })
+
+        I = norm_host.shape[0]
+        chunk = min(self.item_chunk_size, I)
+        n_chunks = -(-I // chunk)
+        for ci in range(n_chunks):
+            off = ci * chunk
+            feats_np = norm_host[off:off + chunk]
+            tags_np = item_tags[off:off + chunk] if item_tags is not None else None
+            if feats_np.shape[0] < chunk:           # static shapes: pad tail
+                pad = chunk - feats_np.shape[0]
+                feats_np = np.pad(feats_np, ((0, pad), (0, 0)))
+                if tags_np is not None:
+                    tags_np = np.pad(tags_np, ((0, pad), (0, 0)))
+            feats_c = jnp.asarray(feats_np)
+            tags_c = jnp.asarray(tags_np) if tags_np is not None else None
+            for st in states:
+                st["run_vals"], st["run_idx"] = self._chunk_scorer(
+                    self.state.params, st["head_embs"], st["switch_pred"],
+                    feats_c, tags_c, st["tgt"], off, I,
+                    st["hist_r"], st["hist_c"],
+                    st["run_vals"], st["run_idx"], top_k,
+                )
+        for st in states:
+            n_real = st["n_real"]
+            yield (st["batch"], n_real,
+                   np.asarray(st["run_vals"])[:n_real],
+                   np.asarray(st["run_idx"])[:n_real], st["pe_host"])
+
     def _stream_score_topk(self, pe, item_feats, item_tags, batch, top_k: int):
         """Chunked full-corpus scoring with pad/history masking and on-device
         per-head top-k merge."""
@@ -770,17 +919,7 @@ class Trainer:
             self._chunk_scorer = self._make_chunk_scorer()
 
         # static-size history arrays (bucketed to limit recompiles)
-        hr, hc = batch["history_row"], batch["history_col"]
-        if self.suppress_history and len(hr):
-            n = len(hr)
-            bucket = 1 << (n - 1).bit_length()
-            hist_r = np.zeros(bucket, np.int32)
-            hist_c = np.full(bucket, -1, np.int32)
-            hist_r[:n] = hr
-            hist_c[:n] = hc
-        else:
-            hist_r = np.zeros(1, np.int32)
-            hist_c = np.full(1, -1, np.int32)
+        hist_r, hist_c = self._bucketed_history(batch, self.suppress_history)
 
         B, H, _ = pe["head_embs"].shape
         if self.config["split_mode"] == "average" and H > 1:

@@ -84,7 +84,7 @@ def test_log_detailed_results(synth_dir, tmp_path_factory):
     t = Trainer(cfg, data)
     t.setup_model()
     t.evaluate(test, load_best_model=False)
-    dumps = glob.glob(os.path.join(ckpt, "HSTU", "ckpt", "detailed", "*.npz"))
+    dumps = glob.glob(os.path.join(t.saved_model_dir, "detailed", "*.npz"))
     assert dumps
     from mhrec_tpu.utils.observability import load_log_dict
 
@@ -104,7 +104,57 @@ def test_save_for_eval_export(synth_dir, tmp_path_factory):
     t = Trainer(cfg, data)
     t.setup_model()
     t.evaluate(test, load_best_model=False)
-    chunks = glob.glob(os.path.join(ckpt, "HSTU", "ckpt", "saved_eval", "*.npz"))
+    chunks = glob.glob(os.path.join(t.saved_model_dir, "saved_eval", "*.npz"))
     assert chunks
     with np.load(chunks[0]) as z:
         assert "topk_indices" in z and "user_embs" in z
+
+
+def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
+    """Corpus-scale eval mode (host-resident item table, chunk-outer
+    streaming) must produce identical metrics to the device-table path."""
+    import copy
+
+    from mhrec_tpu.config import Config
+    from mhrec_tpu.data import InteractionData, build_dataloader
+    from mhrec_tpu.trainer import Trainer
+
+    base = dict(
+        data_path=synth_dir["data_path"],
+        dataset=synth_dir["name"],
+        text_path=synth_dir["text_path"],
+        model="HLLM",
+        dummy_llm=True,
+        dummy_vocab_size=128,
+        dummy_hidden_size=32,
+        MAX_ITEM_LIST_LENGTH=6,
+        MAX_TEXT_LENGTH=12,
+        train_batch_size=8,
+        eval_batch_size=16,
+        num_negatives=16,
+        tag_version="v1",
+        eval_pred_len=2, pred_len=2,
+        topk=[5, 10],
+        total_iters=2, eval_interval=100,
+        item_chunk_size=64,   # force several chunks over the 300-item corpus
+        checkpoint_dir=str(tmp_path_factory.mktemp("host_tbl")),
+    )
+
+    def run(**over):
+        cfg = Config(
+            config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+            config_dict={**base, **over},
+        ).finalize()
+        data = InteractionData(cfg).build()
+        train, valid, test = build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model()
+        t.fit(train, None)
+        return t.evaluate(test, load_best_model=False)
+
+    res_dev = run(host_item_table=False)
+    res_host = run(host_item_table=True)
+    assert res_dev.keys() == res_host.keys()
+    for section in res_dev:
+        for k, v in res_dev[section].items():
+            assert abs(v - res_host[section][k]) < 1e-6, (section, k, v, res_host[section][k])
