@@ -471,10 +471,19 @@ def hllm_from_config(config, dataload) -> HLLM:
         hs = config.get("dummy_hidden_size", 64)
         item_cfg = LLMConfig.tiny(vs, hs)
         user_cfg = LLMConfig.tiny(vs, hs)
-        dummy = True
+        # random_init_towers: real (tiny) Llama backbones without checkpoints
+        # — exercises the full tower path (TP annotations, RoPE, GQA) in
+        # tests/dryruns; default keeps the reference's dummy_llm semantics
+        dummy = not bool(config.get("random_init_towers", False)) or dummy
     else:
         item_cfg = LLMConfig.from_pretrained_dir(item_dir)
         user_cfg = LLMConfig.from_pretrained_dir(user_dir or item_dir)
+
+    if int(config.get("tp_size", 1) or 1) > 1:
+        import dataclasses as _dc
+
+        item_cfg = _dc.replace(item_cfg, tp_shard=True)
+        user_cfg = _dc.replace(user_cfg, tp_shard=True)
 
     use_image = bool(config.get("use_image", False))
     vision_cfg = None

@@ -30,6 +30,9 @@ class LLMConfig:
     # Multimodal RoPE (qwen2_vl): per-axis rotary sections (t, h, w) over
     # head_dim//2. None → standard 1D RoPE.
     mrope_section: Optional[tuple] = None
+    # Annotate projection kernels with 'model'-axis partitioning for
+    # tensor-parallel runs (tp_size > 1). Ignored on a 1-D data mesh.
+    tp_shard: bool = False
 
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "LLMConfig":

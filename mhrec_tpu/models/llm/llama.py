@@ -81,6 +81,13 @@ def apply_rope(x, cos, sin):
     ).astype(x.dtype)
 
 
+def _maybe_tp(init, names, enabled: bool):
+    """Wrap an initializer with 'model'-axis partition metadata (Megatron
+    column/row parallel via GSPMD); identity when TP is off. The trainer
+    falls back to replication for any param whose dims don't divide."""
+    return nn.with_partitioning(init, names) if enabled else init
+
+
 class LlamaAttention(nn.Module):
     config: LLMConfig
     dtype: Any = jnp.bfloat16
@@ -93,7 +100,13 @@ class LlamaAttention(nn.Module):
         dh = D // h
         dense = lambda feats, name: nn.DenseGeneral(
             feats, axis=-1, use_bias=c.attention_bias, dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.02), name=name,
+            kernel_init=_maybe_tp(
+                nn.initializers.normal(0.02), (None, "model", None), c.tp_shard
+            ),
+            bias_init=_maybe_tp(
+                nn.initializers.zeros, ("model", None), c.tp_shard
+            ),
+            name=name,
         )
         q = dense((h, dh), "q_proj")(x)
         k = dense((hk, dh), "k_proj")(x)
@@ -118,7 +131,10 @@ class LlamaAttention(nn.Module):
             ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
         return nn.DenseGeneral(
             D, axis=-1, use_bias=False, dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.02), name="o_proj",
+            kernel_init=_maybe_tp(
+                nn.initializers.normal(0.02), ("model", None), c.tp_shard
+            ),
+            name="o_proj",
         )(ctx)
 
 
@@ -129,12 +145,14 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.config
+        col = _maybe_tp(nn.initializers.normal(0.02), (None, "model"), c.tp_shard)
+        row = _maybe_tp(nn.initializers.normal(0.02), ("model", None), c.tp_shard)
         gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                        kernel_init=nn.initializers.normal(0.02), name="gate_proj")(x)
+                        kernel_init=col, name="gate_proj")(x)
         up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                      kernel_init=nn.initializers.normal(0.02), name="up_proj")(x)
+                      kernel_init=col, name="up_proj")(x)
         return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype,
-                        kernel_init=nn.initializers.normal(0.02), name="down_proj")(
+                        kernel_init=row, name="down_proj")(
             nn.silu(gate) * up
         )
 

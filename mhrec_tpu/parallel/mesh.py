@@ -27,9 +27,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+def make_mesh(devices=None, axis_name: str = "data", tp_size: int = 1) -> Mesh:
+    """1-D data mesh, or — with ``tp_size > 1`` — a 2-D ``('data','model')``
+    mesh for tensor-parallel tower sharding (beyond the reference's DP-only
+    stack; Megatron-style column/row parallel emerges from the param
+    annotations + XLA's GSPMD propagation)."""
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if tp_size > 1:
+        assert devices.size % tp_size == 0, (devices.size, tp_size)
+        return Mesh(devices.reshape(devices.size // tp_size, tp_size),
+                    (axis_name, "model"))
+    return Mesh(devices, (axis_name,))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -27,7 +27,14 @@ logger = logging.getLogger(__name__)
 
 
 def run_loop(config_files, extra_args, multihost: bool = False):
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS even when a site plugin (e.g. a tunneled TPU)
+    # registered itself with higher priority
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     if multihost:
         jax.distributed.initialize()

@@ -66,7 +66,7 @@ class Trainer:
         self.model = build_model(config, dataload)
         self.collector = Collector(config)
         self.evaluator = Evaluator(config)
-        self.mesh = make_mesh()
+        self.mesh = make_mesh(tp_size=int(config.get("tp_size", 1) or 1))
         self.num_processes = jax.process_count()
         self.process_index = jax.process_index()
 
@@ -183,10 +183,27 @@ class Trainer:
                     return None
             return node if isinstance(node, PartitionSpec) else None
 
+        def divisible(param, spec):
+            for i, ax in enumerate(spec):
+                if ax is None:
+                    continue
+                axes = ax if isinstance(ax, tuple) else (ax,)
+                k = 1
+                for a in axes:
+                    k *= self.mesh.shape[a]
+                if i >= param.ndim or param.shape[i] % k:
+                    return False
+            return True
+
         def place(path, param):
             spec = spec_for_path(path)
             if spec is not None and any(s is not None for s in spec):
-                return jax.device_put(param, NamedSharding(self.mesh, spec))
+                # GQA kv heads (or other small dims) may not divide the mesh
+                # axis — replicate those rather than failing
+                if all(a in self.mesh.shape for ax in spec if ax is not None
+                       for a in (ax if isinstance(ax, tuple) else (ax,))) \
+                        and divisible(param, spec):
+                    return jax.device_put(param, NamedSharding(self.mesh, spec))
             return jax.device_put(param, rep)
 
         params = jtu.tree_map_with_path(place, params)

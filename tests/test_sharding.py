@@ -144,3 +144,68 @@ def test_sharded_item_embedding(synth_dir, tmp_path_factory, devices):
     _, _, test = build_dataloader(cfg_s, data)
     res = ts.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg_s['eval_pred_len'] - 1}"]
+
+
+def test_tensor_parallel_hllm_towers(synth_dir, tmp_path_factory, devices, tmp_path):
+    """tp_size=4 on a (2, 4) ('data','model') mesh: tower projection kernels
+    shard over 'model' (Megatron column/row parallel via GSPMD), GQA kv
+    projections fall back to replication (kv=2 < tp=4), one train step +
+    eval run end to end."""
+    import os
+
+    from mhrec_tpu.config import Config
+
+    sys_path_fix = os.path.join(os.path.dirname(__file__))
+    import sys
+
+    if sys_path_fix not in sys.path:
+        sys.path.insert(0, sys_path_fix)
+    from test_hllm import _write_tiny_llama_ckpt
+
+    ckpt = str(tmp_path / "tiny_llama_tp")
+    os.makedirs(ckpt)
+    _write_tiny_llama_ckpt(ckpt)
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            tp_size=4,
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=12,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("tp")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    assert t.mesh.shape == {"data": 2, "model": 4}
+    t.setup_model()
+
+    # column-parallel: q_proj kernel [D, h, dh] sharded over heads
+    qk = t.state.params["item_llm"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert "model" in str(qk.sharding.spec)
+    # row-parallel: down_proj kernel [I, D] sharded on the input dim
+    dk = t.state.params["item_llm"]["layers_0"]["mlp"]["down_proj"]["kernel"]
+    assert "model" in str(dk.sharding.spec)
+    # GQA kv heads (2) don't divide tp (4) -> replicated fallback
+    kk = t.state.params["item_llm"]["layers_0"]["self_attn"]["k_proj"]["kernel"]
+    assert "model" not in str(kk.sharding.spec)
+
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
