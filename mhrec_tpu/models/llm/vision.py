@@ -53,6 +53,8 @@ class VisionConfig:
     intermediate_size: int = 0       # clip: explicit MLP width
     use_cls_token: bool = True       # clip: learned class token + abs pos emb
     layer_norm_eps: float = 1e-6
+    patch_bias: bool = False         # siglip: conv patch embedding has a bias
+    use_pre_ln: bool = True          # siglip: no pre-LN before the blocks
 
     @property
     def patch_dim(self) -> int:
@@ -92,6 +94,8 @@ class VisionConfig:
                 hidden_act=v.get("hidden_act", "quick_gelu"),
                 use_cls_token=v.get("model_type") != "siglip_vision_model",
                 layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+                patch_bias=v.get("model_type") == "siglip_vision_model",
+                use_pre_ln=v.get("model_type") != "siglip_vision_model",
             )
         return cls(
             embed_dim=v.get("embed_dim", 1280),
@@ -262,7 +266,7 @@ class ClipVisionTower(nn.Module):
     def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
         c = self.config
         N, P, _ = patches.shape
-        x = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
+        x = nn.Dense(c.embed_dim, use_bias=c.patch_bias, dtype=self.dtype,
                      name="patch_embed")(patches.astype(self.dtype))
         n_pos = P + (1 if c.use_cls_token else 0)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
@@ -278,8 +282,9 @@ class ClipVisionTower(nn.Module):
             )
             x = jnp.concatenate([cls_tok, x], axis=1)
         x = x + pos.astype(self.dtype)[None]
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
-                         name="pre_layernorm")(x)
+        if c.use_pre_ln:
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                             name="pre_layernorm")(x)
         block_cls = ClipVisionBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(ClipVisionBlock)
@@ -289,7 +294,7 @@ class ClipVisionTower(nn.Module):
         if c.use_cls_token:
             x = x[:, 1:]             # drop CLS (LLaVA "default" strategy)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)   # HF LLaVA projector uses exact gelu
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc2")(h)
 
 
@@ -308,16 +313,21 @@ def load_clip_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
             .reshape(config.embed_dim, -1).T
         },
         "position_embedding": t(f"{pre}.embeddings.position_embedding.weight"),
-        "pre_layernorm": {
-            # HF spells it "pre_layrnorm"
-            "scale": t(f"{pre}.pre_layrnorm.weight"),
-            "bias": t(f"{pre}.pre_layrnorm.bias"),
-        },
         "proj_fc1": {"kernel": t("multi_modal_projector.linear_1.weight").T,
                      "bias": t("multi_modal_projector.linear_1.bias")},
         "proj_fc2": {"kernel": t("multi_modal_projector.linear_2.weight").T,
                      "bias": t("multi_modal_projector.linear_2.bias")},
     }
+    if config.patch_bias:
+        params["patch_embed"]["bias"] = t(
+            f"{pre}.embeddings.patch_embedding.bias"
+        )
+    if config.use_pre_ln:
+        params["pre_layernorm"] = {
+            # HF spells it "pre_layrnorm"
+            "scale": t(f"{pre}.pre_layrnorm.weight"),
+            "bias": t(f"{pre}.pre_layrnorm.bias"),
+        }
     if config.use_cls_token:
         params["class_embedding"] = t(f"{pre}.embeddings.class_embedding")
     for i in range(config.depth - 1):   # feature layer -2: last block unused

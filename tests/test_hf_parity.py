@@ -223,3 +223,66 @@ def test_qwen2vl_vision_tower_matches_hf():
     np.testing.assert_allclose(
         out.reshape(-1, 24), ref, rtol=3e-4, atol=3e-4
     )
+
+
+def test_clip_vision_tower_matches_hf():
+    """ClipVisionTower vs HF CLIPVisionModel: penultimate-layer hidden
+    states (LLaVA vision_feature_layer=-2, CLS dropped) + projector."""
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from mhrec_tpu.models.llm.vision import (
+        ClipVisionTower, VisionConfig, load_clip_vision_params,
+    )
+
+    vdim, vdepth, vps, img = 16, 3, 4, 16
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=vdim, num_hidden_layers=vdepth, num_attention_heads=4,
+        intermediate_size=vdim * 2, image_size=img, patch_size=vps,
+        hidden_act="quick_gelu", attn_implementation="eager",
+    )
+    torch.manual_seed(11)
+    hf = CLIPVisionModel(hf_cfg).eval()
+    sd = {f"vision_tower.{k}": v.numpy() for k, v in hf.state_dict().items()}
+    # random projector
+    rng = np.random.default_rng(3)
+    out_dim = 24
+    w1 = rng.normal(size=(out_dim, vdim)).astype(np.float32) * 0.05
+    b1 = np.zeros(out_dim, np.float32)
+    w2 = rng.normal(size=(out_dim, out_dim)).astype(np.float32) * 0.05
+    b2 = np.zeros(out_dim, np.float32)
+    sd["multi_modal_projector.linear_1.weight"] = w1
+    sd["multi_modal_projector.linear_1.bias"] = b1
+    sd["multi_modal_projector.linear_2.weight"] = w2
+    sd["multi_modal_projector.linear_2.bias"] = b2
+
+    vcfg = VisionConfig(
+        arch="clip", embed_dim=vdim, depth=vdepth, num_heads=4,
+        intermediate_size=vdim * 2, patch_size=vps, temporal_patch_size=1,
+        spatial_merge_size=1, hidden_size=out_dim, hidden_act="quick_gelu",
+        layer_norm_eps=hf_cfg.layer_norm_eps,
+    )
+    params = load_clip_vision_params(sd, vcfg)
+
+    pixels = rng.normal(size=(2, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        hs = hf(torch.tensor(pixels), output_hidden_states=True).hidden_states
+        feats = hs[-2][:, 1:].numpy()            # drop CLS
+        ref = np.tanh(0)  # noqa - placeholder
+        h = feats @ w1.T + b1
+        # HF llava projector uses exact gelu by default config (gelu)
+        from scipy.special import erf
+
+        h = h * 0.5 * (1.0 + erf(h / np.sqrt(2.0)))
+        ref = h @ w2.T + b2
+
+    # our patchifier flattens [c, ps, ps] per patch row-major — equal to the
+    # HF conv over the same pixels
+    from mhrec_tpu.data.vision import ImagePreprocessor
+
+    prep = ImagePreprocessor(img, img, patch_size=vps, temporal_patch_size=1,
+                             spatial_merge_size=1)
+    patches = np.stack([prep._patchify(p) for p in pixels])
+    tower = ClipVisionTower(vcfg, grid_h=img // vps, grid_w=img // vps,
+                            dtype=jnp.float32)
+    out = np.asarray(tower.apply({"params": params}, jnp.asarray(patches)))
+    np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-4)
