@@ -191,5 +191,42 @@ class Config:
     def as_dict(self) -> Dict[str, Any]:
         return dict(self._data)
 
+    # categorized pretty-print (reference utils/argument_list.py +
+    # configurator __str__: General/Training/Evaluation/Dataset sections,
+    # remainder under "Other Hyper Parameters")
+    _CATEGORIES = (
+        ("General", ("seed", "reproducibility", "state", "model", "data_path",
+                     "checkpoint_dir", "show_progress", "config_file",
+                     "log_wandb", "save_model_note")),
+        ("Training", ("total_iters", "train_batch_size", "optim_args",
+                      "eval_interval", "stopping_step", "accumulate_grad",
+                      "gradient_checkpointing", "loss", "num_negatives",
+                      "sparse_item_adam", "tp_size")),
+        ("Evaluation", ("metrics", "topk", "valid_metric",
+                        "valid_metric_bigger", "eval_batch_size",
+                        "eval_pred_len", "metric_decimal_place",
+                        "split_mode", "suppress_history")),
+        ("Dataset", ("dataset", "text_path", "MAX_TEXT_LENGTH",
+                     "MAX_ITEM_LIST_LENGTH", "MAX_ITEM_LIST_LENGTH_TEST",
+                     "min_seq_len", "text_keys", "item_prompt",
+                     "tag_version", "eval_num_cats")),
+    )
+
+    def format_categorized(self) -> str:
+        lines = []
+        seen = set()
+        for title, keys in self._CATEGORIES:
+            lines.append(f"{title} Hyper Parameters:")
+            for k in keys:
+                if k in self._data:
+                    lines.append(f"  {k} = {self._data[k]}")
+                    seen.add(k)
+            lines.append("")
+        rest = [k for k in sorted(self._data) if k not in seen]
+        if rest:
+            lines.append("Other Hyper Parameters:")
+            lines.extend(f"  {k} = {self._data[k]}" for k in rest)
+        return "\n".join(lines)
+
     def __repr__(self) -> str:
         return f"Config({len(self._data)} keys)"
