@@ -169,6 +169,15 @@ class Config:
             d["prior_switch"] = None
         if "merrec" in str(d.get("dataset", "")):
             d["category_by"] = "event"
+        if d.get("category_by") == "user":
+            # user-cluster priors only make sense as an oracle over a single
+            # horizon (reference trainer.py:104-105)
+            assert d.get("prior_given_at_test") is True and int(
+                d.get("given_prior_len") or 0
+            ) == 1, (
+                "category_by='user' requires prior_given_at_test=True and "
+                "given_prior_len=1"
+            )
         return self
 
     # -- mapping protocol ----------------------------------------------------

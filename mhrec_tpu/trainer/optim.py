@@ -103,8 +103,16 @@ def build_optimizer(config, schedule_factory, total_iters: int):
         if freeze_prefix:
             transforms["frozen"] = optax.set_to_zero()
         if len(transforms) == 1:
-            return transforms["normal"]
-        labels = _label_tree(params, label)
-        return optax.multi_transform(transforms, labels)
+            tx = transforms["normal"]
+        else:
+            labels = _label_tree(params, label)
+            tx = optax.multi_transform(transforms, labels)
+        # global-norm gradient clipping (the reference reads clip_grad_norm,
+        # trainer.py:99, but never applies it — here it is honored when set;
+        # under sparse_item_adam the row-sparse table grads bypass clipping)
+        clip = config.get("clip_grad_norm")
+        if clip:
+            tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+        return tx
 
     return make

@@ -767,6 +767,10 @@ class Trainer:
         mode = self.config.get("host_item_table", "auto")
         if mode in (False, "false", "False") or not needs_corpus:
             return False
+        if self.config.get("freeze_item_llm", False):
+            # frozen tables are loaded as device arrays up front — host
+            # streaming would add transfers without saving HBM
+            return False
         if need_full:
             if mode in (True, "true", "True"):
                 raise ValueError(

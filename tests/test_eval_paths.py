@@ -136,7 +136,7 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
         eval_pred_len=2, pred_len=2,
         topk=[5, 10],
         total_iters=2, eval_interval=100,
-        item_chunk_size=64,   # force several chunks over the 300-item corpus
+        eval_item_chunk_size=64,  # force several chunks over the 300-item corpus
         checkpoint_dir=str(tmp_path_factory.mktemp("host_tbl")),
     )
 

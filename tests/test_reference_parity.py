@@ -24,6 +24,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def _import_reference_hstu():
+    import importlib
+
     stubs = {
         "colorlog": {},
         "tensorboardX": {"SummaryWriter": object},
@@ -32,11 +34,19 @@ def _import_reference_hstu():
         "pytz": {"timezone": lambda s: None},
     }
     for name, attrs in stubs.items():
-        if name not in sys.modules:
-            m = types.ModuleType(name)
-            for a, v in attrs.items():
-                setattr(m, a, v)
-            sys.modules[name] = m
+        if name in sys.modules:
+            continue
+        try:
+            # never shadow a real installed module (a fake tensorboardX
+            # would break the trainer's tensorboard sink in later tests)
+            importlib.import_module(name)
+            continue
+        except ImportError:
+            pass
+        m = types.ModuleType(name)
+        for a, v in attrs.items():
+            setattr(m, a, v)
+        sys.modules[name] = m
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from REC.model.IDNet import hstu as ref_hstu  # noqa: E402

@@ -58,3 +58,28 @@ def test_save_load_log_dict(tmp_path):
     np.testing.assert_array_equal(back["topk"], d["topk"])
     np.testing.assert_allclose(back["scores"], d["scores"])
     assert back["note"] == "hello"
+
+
+def test_convert_priors_roundtrip(tmp_path):
+    """Reference-style *_dict.py module → JSON the registry loads."""
+    mod = tmp_path / "Foo_tag_dict.py"
+    mod.write_text(
+        "tag_to_general = {\n"
+        "    'v1': {\n"
+        "        'tag_to_category': {'rock': ['music'], 7: ['cluster_7']},\n"
+        "        'category_counts': {'music': 10, 'cluster_7': 3},\n"
+        "    }\n"
+        "}\n"
+    )
+    out = tmp_path / "Foo_tag_dict.json"
+    from mhrec_tpu.tools.convert_priors import convert
+
+    data = convert(str(mod), str(out))
+    assert data["v1"]["category_counts"]["music"] == 10
+
+    from mhrec_tpu.data.tag_dicts import load_prior_dict
+
+    loaded = load_prior_dict(str(tmp_path), "Foo", "tag_dict")
+    assert loaded["v1"]["tag_to_category"]["rock"] == ["music"]
+    # int keys become strings in JSON; the loader looks up str(tag) too
+    assert loaded["v1"]["tag_to_category"]["7"] == ["cluster_7"]

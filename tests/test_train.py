@@ -143,3 +143,74 @@ def test_resume_continues(synth_dir, tmp_path_factory):
     assert int(t2.state.step) > 0
     stats = t2.fit(train, None)
     assert stats["iters"] < 6  # only the remaining steps ran
+
+
+def test_clip_grad_norm(synth_dir, tmp_path_factory):
+    """clip_grad_norm caps the global grad norm before the AdamW update
+    (the reference reads the key, trainer.py:99, without applying it)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_config(
+        synth_dir, total_iters=2, clip_grad_norm=1e-8,
+        sparse_item_adam=False,
+        checkpoint_dir=str(tmp_path_factory.mktemp("clip")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    p0 = jax.tree.map(lambda x: np.asarray(x), t.state.params)
+    b = next(iter(train.epoch_batches(0)))
+    t.state, out = t._jit_train_step(
+        t.state, {k: jnp.asarray(v) for k, v in b.items()}
+    )
+    # with a vanishing clip norm the updates are (numerically) tiny
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(b) - a))), p0, t.state.params
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-3
+
+
+def test_user_cluster_prior_end_to_end(tmp_path_factory):
+    """category_by='user': user-cluster prior heads with oracle priors at
+    test (reference trainer.py:104-105 constraints; user one-hot tags from
+    trainset.py:147)."""
+    import tempfile
+
+    from mhrec_tpu.config import Config
+    from mhrec_tpu.data.synthetic import generate_synthetic_dataset
+
+    tmp = tempfile.mkdtemp(prefix="mhrec_ucl_")
+    meta = generate_synthetic_dataset(
+        tmp, num_users=100, num_items=200, seed=4, with_user_clusters=True
+    )
+    cfg = Config(
+        config_file_list=["IDNet/hstu-size1.yaml", "overall/ID.yaml",
+                          "IDNet/hstu.yaml"],
+        config_dict=dict(
+            data_path=meta["data_path"], dataset=meta["name"],
+            text_path=meta["text_path"],
+            MAX_ITEM_LIST_LENGTH=8, train_batch_size=8, eval_batch_size=16,
+            num_negatives=32, n_layers=1, n_heads=2,
+            item_embedding_size=16, hstu_embedding_size=16,
+            total_iters=2, eval_interval=100,
+            eval_pred_len=2, pred_len=2, topk=[5, 10],
+            loss="prior", category_by="user", cluster_as_tag=True,
+            tag_version="v1", eval_num_cats=4, num_prior_head=4,
+            medusa_num_layers=1,
+            prior_given_at_test=True, given_prior_len=1,
+            checkpoint_dir=str(tmp_path_factory.mktemp("ucl")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    assert data.user_cluster_list is not None
+    train, _, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    # user one-hot: exactly one active category per position
+    assert (b["tag_categories"].sum(axis=-1) == 1).all()
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.fit(train, None)
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
