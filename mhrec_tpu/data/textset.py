@@ -9,11 +9,13 @@ learnable item-embedding token.
 TPU-first differences from the reference:
 * items are tokenized once and cached (the reference re-tokenizes every
   occurrence in every epoch inside DataLoader workers);
-* batches are dense padded matrices with *static* shapes (``pos_tokens
-  [B·(L+P), T+1]``, ``neg_tokens [B·NC·K, T+1]``) rather than rm-pad flat
-  packs — the padded-key mask removes pad attention, XLA compiles once.
-  (A dedup-by-unique-item variant would save item-tower FLOPs but makes the
-  unique count dynamic; a bucketed version is a future optimization.)
+* three item-tower batch layouts: dense padded matrices with *static*
+  shapes (``pos_tokens [B·(L+P), T+1]``; always-correct default), a packed
+  varlen stream for the windowed splash-attention kernel
+  (``packed_item_tower``; ~2× faster on TPU at TinyLlama-ish shapes), and
+  ``dedup_items`` which encodes each distinct item once per batch and
+  gathers back (wins when occurrences repeat; falls back to dense when the
+  batch is mostly unique).
 
 Tokenizer resolution: a local HF tokenizer dir when available
 (``local_files_only``), else a deterministic hashing tokenizer so the full
@@ -169,6 +171,8 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         super().__init__(config, dataload, **kw)
         self.freeze_item_llm = bool(config.get("freeze_item_llm", False))
         self.packed_item_tower = bool(config.get("packed_item_tower", False))
+        self.dedup_items = bool(config.get("dedup_items", False))
+        self.dedup_quantum = int(config.get("dedup_bucket_quantum", 256))
         self.pack_bucket = int(config.get("pack_bucket", 2048))
         self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
         tokenizer = build_tokenizer(
@@ -188,6 +192,27 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         batch = super().make_batch(rng, loc_idx)
         if self.freeze_item_llm:
             return batch
+        if self.dedup_items and not self.packed_item_tower:
+            # encode each DISTINCT item once per batch and gather back —
+            # identical math (an item's embedding is input-independent), far
+            # fewer item-tower FLOPs when occurrences repeat. Unique count is
+            # padded to a multiple of 256 (bounded recompile variety); when
+            # the batch has few duplicates the dense path is used instead.
+            ids_all = np.concatenate(
+                [batch["items"].ravel(), batch["neg_items"].ravel()]
+            )
+            uniq, inv = np.unique(ids_all, return_inverse=True)
+            q = int(self.dedup_quantum)
+            bucket = max(q, -(-len(uniq) // q) * q)
+            if bucket < len(ids_all):
+                uniq_p = np.zeros(bucket, dtype=uniq.dtype)
+                uniq_p[: len(uniq)] = uniq
+                tokens, lens = self.text_cache.batch(uniq_p)
+                batch["uniq_tokens"], batch["uniq_token_lens"] = tokens, lens
+                batch["uniq_inverse"] = inv.astype(np.int32)
+                if self.image_store is not None:
+                    batch["uniq_pixel_patches"] = self.image_store.batch(uniq_p)
+                return batch
         pos_tokens, pos_lens = self.text_cache.batch(batch["items"].ravel())
         neg_tokens, neg_lens = self.text_cache.batch(batch["neg_items"].ravel())
         if self.packed_item_tower:

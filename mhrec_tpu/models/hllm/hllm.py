@@ -355,6 +355,24 @@ class HLLM(nn.Module):
             def _neg_norm(col):
                 neg = neg_embs[:, col]
                 return cosine_normalize(neg).reshape(-1, neg.shape[-1])
+        elif "uniq_tokens" in batch:
+            # dedup mode: encode distinct items once, gather per occurrence
+            B, W = batch["items"].shape
+            uniq_embs = self.encode_items(
+                batch["uniq_tokens"], batch["uniq_token_lens"],
+                batch.get("uniq_pixel_patches"),
+            )
+            all_embs = uniq_embs[batch["uniq_inverse"]]
+            n_pos = B * W
+            pos_items_embs = all_embs[:n_pos].reshape(B, W, -1)
+            n_cats = batch["neg_items"].shape[1]
+            neg_embs = all_embs[n_pos:].reshape(
+                B, n_cats, -1, pos_items_embs.shape[-1]
+            )
+
+            def _neg_norm(col):
+                neg = neg_embs[:, col]
+                return cosine_normalize(neg).reshape(-1, neg.shape[-1])
         else:
             B, W = batch["items"].shape
             pos_items_embs = self.encode_items(
@@ -479,11 +497,17 @@ def hllm_from_config(config, dataload) -> HLLM:
         item_cfg = LLMConfig.from_pretrained_dir(item_dir)
         user_cfg = LLMConfig.from_pretrained_dir(user_dir or item_dir)
 
-    if int(config.get("tp_size", 1) or 1) > 1:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if int(config.get("tp_size", 1) or 1) > 1:
         item_cfg = _dc.replace(item_cfg, tp_shard=True)
         user_cfg = _dc.replace(user_cfg, tp_shard=True)
+    if config.get("packed_item_tower", False):
+        # bound the splash kernel to a causal band of the max segment length
+        window = int(config.get("MAX_TEXT_LENGTH", 64)) + int(
+            config.get("item_emb_token_n", 1) or 0
+        )
+        item_cfg = _dc.replace(item_cfg, packed_window=window)
 
     use_image = bool(config.get("use_image", False))
     vision_cfg = None

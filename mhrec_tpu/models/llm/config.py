@@ -33,6 +33,9 @@ class LLMConfig:
     # Annotate projection kernels with 'model'-axis partitioning for
     # tensor-parallel runs (tp_size > 1). Ignored on a 1-D data mesh.
     tp_shard: bool = False
+    # Max packed-segment length (item text + emb slot) — bounds the splash
+    # attention kernel to a causal band in the packed varlen item tower.
+    packed_window: int = 0
 
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "LLMConfig":

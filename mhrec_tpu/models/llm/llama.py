@@ -119,10 +119,14 @@ class LlamaAttention(nn.Module):
             v = jnp.repeat(v, rep, axis=2)
         if segment_ids is not None:
             # packed varlen batch: causal-within-segment attention
-            # (reference flash_attn_varlen path, flash_self_attn.py:61-130)
+            # (reference flash_attn_varlen path, flash_self_attn.py:61-130);
+            # packed_window bounds the splash kernel to a causal band
             from mhrec_tpu.models.llm.packed import packed_attention
 
-            ctx = packed_attention(q[0], k[0], v[0], segment_ids)[None]
+            ctx = packed_attention(
+                q[0], k[0], v[0], segment_ids,
+                window=c.packed_window or None,
+            )[None]
             ctx = ctx.reshape(B, T, D)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)

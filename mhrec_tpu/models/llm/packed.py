@@ -36,33 +36,43 @@ def packed_attention_dense(q, k, v, segment_ids):
     return jnp.einsum("hst,thd->shd", probs, v)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _splash_call(q, k, v, segment_ids):
+@functools.partial(jax.jit, static_argnames=("window",))
+def _splash_call(q, k, v, segment_ids, window: Optional[int] = None):
     from jax.experimental.pallas.ops.tpu import splash_attention as sa
 
     H, S, dh = q.shape
-    mask = sa.MultiHeadMask([sa.CausalMask((S, S)) for _ in range(H)])
+    if window:
+        # segments are contiguous and at most ``window`` tokens long, so a
+        # causal band of width ``window`` bounds the kernel's grid to
+        # O(S·window) — a plain CausalMask sweeps the full O(S²) triangle
+        # even though segment ids zero the cross-segment blocks (measured
+        # 7.6× slower than the padded dense path at S≈48k on v5e)
+        base = sa.LocalMask((S, S), (min(window, S), 0), 0)
+    else:
+        base = sa.CausalMask((S, S))
+    mask = sa.MultiHeadMask([base for _ in range(H)])
     kernel = sa.make_splash_mha_single_device(mask=mask)
     seg = sa.SegmentIds(q=segment_ids, kv=segment_ids)
     return kernel(q, k, v, segment_ids=seg)
 
 
-def packed_attention_splash(q, k, v, segment_ids):
+def packed_attention_splash(q, k, v, segment_ids, window: Optional[int] = None):
     """q/k/v: [S, H, dh] → [S, H, dh] via the splash kernel (TPU)."""
     dh = q.shape[-1]
     scale = 1.0 / np.sqrt(dh)
     qt = (q * scale).transpose(1, 0, 2)  # [H, S, dh]
     kt = k.transpose(1, 0, 2)
     vt = v.transpose(1, 0, 2)
-    out = _splash_call(qt, kt, vt, segment_ids)
+    out = _splash_call(qt, kt, vt, segment_ids, window=window)
     return out.transpose(1, 0, 2)
 
 
-def packed_attention(q, k, v, segment_ids, impl: str = "auto"):
+def packed_attention(q, k, v, segment_ids, impl: str = "auto",
+                     window: Optional[int] = None):
     if impl == "splash" or (
         impl == "auto" and jax.devices()[0].platform == "tpu"
     ):
-        return packed_attention_splash(q, k, v, segment_ids)
+        return packed_attention_splash(q, k, v, segment_ids, window=window)
     return packed_attention_dense(q, k, v, segment_ids)
 
 

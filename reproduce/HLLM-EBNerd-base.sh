@@ -37,4 +37,5 @@ python -m mhrec_tpu.run \
   --tag_version v2 \
   --outlier_user_metrics category \
   --log_detailed_results True \
-  --gradient_checkpointing True
+  --gradient_checkpointing True \
+  --packed_item_tower True

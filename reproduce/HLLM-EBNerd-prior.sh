@@ -41,4 +41,5 @@ python -m mhrec_tpu.run \
   --segment_embed True \
   --outlier_user_metrics category \
   --log_detailed_results True \
-  --gradient_checkpointing True
+  --gradient_checkpointing True \
+  --packed_item_tower True

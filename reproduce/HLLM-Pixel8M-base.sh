@@ -20,4 +20,5 @@ python -m mhrec_tpu.run \
   --train_batch_size 16 \
   --total_iters 3000 \
   --eval_interval 1000 \
-  --gradient_checkpointing True
+  --gradient_checkpointing True \
+  --packed_item_tower True

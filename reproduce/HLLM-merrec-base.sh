@@ -36,4 +36,5 @@ python -m mhrec_tpu.run \
   --train_test_gap 0 \
   --timestamp_required True \
   --log_detailed_results True \
-  --gradient_checkpointing True
+  --gradient_checkpointing True \
+  --packed_item_tower True

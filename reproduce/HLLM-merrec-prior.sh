@@ -44,4 +44,5 @@ python -m mhrec_tpu.run \
   --timestamp_required True \
   --log_detailed_results True \
   --gradient_checkpointing True \
+  --packed_item_tower True \
   --val_only True

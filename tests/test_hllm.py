@@ -356,3 +356,35 @@ def test_hllm_packed_item_tower_matches_padded(synth_dir, tmp_path_factory, tmp_
     # full train step in packed mode
     stats = t.fit(train, None)
     assert stats["iters"] == 1
+
+
+def test_dedup_items_matches_dense(synth_dir, tmp_path_factory):
+    """dedup_items encodes each distinct item once and gathers back —
+    batch content and loss must match the dense per-occurrence path."""
+    import jax
+
+    cfg_a = _hllm_config(synth_dir, tmp_path_factory, total_iters=1)
+    cfg_b = _hllm_config(synth_dir, tmp_path_factory, total_iters=1,
+                         dedup_items=True, dedup_bucket_quantum=16)
+
+    def one_loss(cfg):
+        data = InteractionData(cfg).build()
+        train, _, _ = build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model()
+        b = next(iter(train.epoch_batches(0)))
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        out = t.model.apply(
+            {"params": t.state.params, **t.extra_vars}, batch,
+            deterministic=True,
+            rngs={"mix": jax.random.PRNGKey(0), "neg": jax.random.PRNGKey(1)},
+        )
+        return float(out["loss"]), b
+
+    la, ba = one_loss(cfg_a)
+    lb, bb = one_loss(cfg_b)
+    np.testing.assert_array_equal(ba["items"], bb["items"])  # same batch
+    assert "uniq_tokens" in bb and "uniq_tokens" not in ba
+    # (at tiny scales the power-of-two bucket may pad past the dense count;
+    # the FLOP win shows at production batch sizes)
+    assert abs(la - lb) < 1e-4, (la, lb)
