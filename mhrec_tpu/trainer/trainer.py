@@ -550,14 +550,32 @@ class Trainer:
                     ),
                     static_argnums=(),
                 )
+            packed_fn = None
             chunks = []
             for cb in corpus.batches():
-                px = cb.get("pixel_patches")
-                emb = self._item_chunk_fn(
-                    self.state.params, jnp.asarray(cb["tokens"]),
-                    jnp.asarray(cb["lens"]),
-                    jnp.asarray(px) if px is not None else None,
-                )
+                if "packed_tokens" in cb:
+                    if packed_fn is None:
+                        packed_fn = jax.jit(
+                            lambda p, pt, sid, pos, slots: self.model.apply(
+                                {"params": p, **self.extra_vars},
+                                pt, sid, pos, slots,
+                                method="encode_items_packed",
+                            )
+                        )
+                    emb = packed_fn(
+                        self.state.params,
+                        jnp.asarray(cb["packed_tokens"]),
+                        jnp.asarray(cb["packed_segment_ids"]),
+                        jnp.asarray(cb["packed_positions"]),
+                        jnp.asarray(cb["emb_slots"]),
+                    )
+                else:
+                    px = cb.get("pixel_patches")
+                    emb = self._item_chunk_fn(
+                        self.state.params, jnp.asarray(cb["tokens"]),
+                        jnp.asarray(cb["lens"]),
+                        jnp.asarray(px) if px is not None else None,
+                    )
                 chunks.append(np.asarray(emb)[: cb["n_real"]])
             host = np.concatenate(chunks, axis=0)
             return host if return_host else jnp.asarray(host)

@@ -388,3 +388,28 @@ def test_dedup_items_matches_dense(synth_dir, tmp_path_factory):
     # (at tiny scales the power-of-two bucket may pad past the dense count;
     # the FLOP win shows at production batch sizes)
     assert abs(la - lb) < 1e-4, (la, lb)
+
+
+def test_packed_corpus_pass_matches_dense(synth_dir, tmp_path_factory, tmp_path):
+    """The packed corpus-embedding pass must produce the same item table as
+    the dense padded pass."""
+    ckpt_dir = str(tmp_path / "tiny_llama_cp")
+    os.makedirs(ckpt_dir)
+    _write_tiny_llama_ckpt(ckpt_dir)
+
+    def table(packed):
+        cfg = _hllm_config(
+            synth_dir, tmp_path_factory,
+            dummy_llm=False, item_pretrain_dir=ckpt_dir,
+            user_pretrain_dir=ckpt_dir, packed_corpus_pass=packed,
+            total_iters=1,
+        )
+        data = InteractionData(cfg).build()
+        build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model()
+        return np.asarray(t.compute_item_feature(return_host=True))
+
+    dense = table(False)
+    packed = table(True)
+    np.testing.assert_allclose(packed, dense, rtol=5e-3, atol=5e-3)
