@@ -22,6 +22,7 @@ Towers are Llama-family flax backbones (padded dense batches, see
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -467,6 +468,24 @@ def load_pretrained_towers(params, config):
                     )
             except (FileNotFoundError, ValueError):
                 pass
+    # warm-start the learnable item-emb token(s) from a saved tensor
+    # (reference item_emb_pretrain, hllm.py:105-108); accepts .npy or a
+    # torch-pickled tensor
+    pre = config.get("item_emb_pretrain")
+    if pre and "item_emb_tokens" in params:
+        if str(pre).endswith(".npy"):
+            arr = np.load(pre)
+        else:
+            import torch
+
+            arr = torch.load(pre, map_location="cpu", weights_only=True)
+            arr = np.asarray(arr.float().numpy())
+        cur = params["item_emb_tokens"]
+        arr = np.asarray(arr, dtype=np.float32).reshape(np.shape(cur))
+        params["item_emb_tokens"] = jnp.asarray(arr)
+        logging.getLogger(__name__).info(
+            "loaded item_emb_tokens from %s with %s", pre, arr.shape
+        )
     return params
 
 

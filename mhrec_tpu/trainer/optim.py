@@ -75,11 +75,14 @@ def build_optimizer(config, schedule_factory, total_iters: int):
             transforms["rec"] = adamw(
                 float(optim_args["rec_lr"]), float(optim_args["rec_decay"])
             )
+            # when decay_check_name is set, the reference groups by that
+            # substring instead of 'visual_encoder' (trainer.py:232-250)
+            check = config.get("decay_check_name") or "visual_encoder"
 
             def label(path: str) -> str:
                 if any(path.startswith(p) for p in freeze_prefix):
                     return "frozen"
-                return "modal" if "visual_encoder" in path else "rec"
+                return "modal" if check in path else "rec"
 
         elif lr_mult_prefix and lr_mult_rate:
             transforms["normal"] = adamw(base_lr, wd)

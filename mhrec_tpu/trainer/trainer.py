@@ -134,6 +134,11 @@ class Trainer:
         self.wandblogger = WandbLogger(config)
         self._tb = None
         self.save_for_eval = bool(config.get("save_for_eval", False))
+        # progress-logging cadence + loss precision (reference
+        # trainer.py:153-154,376: update_interval default 20,
+        # loss_decimal_place default 4)
+        self.update_interval = int(config.get("update_interval") or 20)
+        self.loss_decimal_place = int(config.get("loss_decimal_place") or 4)
         self.results_rows: list = []
 
     # ------------------------------------------------------------------
@@ -410,7 +415,7 @@ class Trainer:
             t_data += time.time() - td
             ts = time.time()
             self.state, out = self._jit_train_step(self.state, batch)
-            if (it + 1) % 100 == 0 or self.debug:
+            if (it + 1) % self.update_interval == 0 or self.debug:
                 loss = float(out["loss"])
                 if math.isnan(loss):
                     raise RuntimeError(f"NaN loss at iter {it}")
@@ -418,8 +423,8 @@ class Trainer:
                 t_step += time.time() - ts
                 self._log_scalars(logs, step=it + 1, head="train")
                 logger.info(
-                    "iter %d/%d loss=%.4f lr=%.3e data=%.2fs step=%.2fs",
-                    it + 1, micro_steps, loss,
+                    "iter %d/%d loss=%.*f lr=%.3e data=%.2fs step=%.2fs",
+                    it + 1, micro_steps, self.loss_decimal_place, loss,
                     float(self.schedule(int(self.state.step) // self.accumulate_grad
                                         if self.accumulate_grad > 1 else int(self.state.step))),
                     t_data, t_step,

@@ -48,6 +48,9 @@ def init_logger(config, process_index: int = 0) -> logging.Logger:
     ckpt_dir = config["checkpoint_dir"] or "./saved"
     model = config["model"] or "model"
     log_dir = os.path.join(ckpt_dir, str(model))
+    # log_path overrides the default dir (reference logger.py:72-73)
+    if config["log_path"]:
+        log_dir = os.path.join(ckpt_dir, str(config["log_path"]))
     try:
         os.makedirs(log_dir, exist_ok=True)
         stamp = time.strftime("%b-%d-%Y_%H-%M-%S")

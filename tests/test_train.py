@@ -214,3 +214,44 @@ def test_user_cluster_prior_end_to_end(tmp_path_factory):
     t.fit(train, None)
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def test_decay_check_name_modal_split(synth_dir):
+    """decay_check_name reroutes the modal/recsys grouping to a name
+    substring (reference trainer.py:232-250): params whose path contains
+    the substring get the modal group's LR."""
+    import jax.numpy as jnp
+    import optax
+
+    from mhrec_tpu.trainer.optim import build_optimizer
+
+    cfg = make_config(
+        synth_dir,
+        optim_args=dict(modal_lr=0.0, modal_decay=0.0, rec_lr=0.5, rec_decay=0.0),
+        decay_check_name="special",
+        scheduler_args=dict(type="constant", warmup=0.0),
+    )
+    make = build_optimizer(cfg, lambda lr: lr, total_iters=10)
+    params = {"special_w": jnp.ones((4,)), "other_w": jnp.ones((4,))}
+    tx = make(params)
+    state = tx.init(params)
+    grads = {"special_w": jnp.ones((4,)), "other_w": jnp.ones((4,))}
+    updates, _ = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    # modal_lr=0 -> the 'special' param must be untouched; rec param moves
+    np.testing.assert_allclose(np.asarray(new["special_w"]), 1.0)
+    assert not np.allclose(np.asarray(new["other_w"]), 1.0)
+
+
+def test_item_emb_pretrain_loads(tmp_path):
+    """item_emb_pretrain warm-starts item_emb_tokens (hllm.py:105-108)."""
+    import jax.numpy as jnp
+
+    from mhrec_tpu.models.hllm.hllm import load_pretrained_towers
+
+    arr = np.arange(8, dtype=np.float32).reshape(1, 1, 8)
+    path = tmp_path / "emb.npy"
+    np.save(path, arr)
+    params = {"item_emb_tokens": jnp.zeros((1, 1, 8), jnp.float32)}
+    out = load_pretrained_towers(params, {"item_emb_pretrain": str(path)})
+    np.testing.assert_allclose(np.asarray(out["item_emb_tokens"]), arr)
