@@ -169,6 +169,14 @@ class Config:
             d["prior_switch"] = None
         if "merrec" in str(d.get("dataset", "")):
             d["category_by"] = "event"
+        if d.get("packed_item_tower") is None and d.get("use_ft_flash_attn"):
+            # use_ft_flash_attn is the reference's varlen flash-attn fast
+            # path for the item tower (hllm.py:56); the TPU moral equivalent
+            # is the packed splash-attention tower, so the flag defaults it
+            # on unless the dense path is required (images / frozen tower)
+            d["packed_item_tower"] = not (
+                d.get("use_image") or d.get("freeze_item_llm")
+            )
         if d.get("category_by") == "user":
             # user-cluster priors only make sense as an oracle over a single
             # horizon (reference trainer.py:104-105)

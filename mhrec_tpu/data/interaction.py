@@ -239,6 +239,11 @@ class InteractionData:
         keys = list(self.config["text_keys"] or []) + ["item_id"]
         if self.tag_col is not None and self.category_by == "item" and self.tag_col not in keys:
             keys.append(self.tag_col)
+        if self.config.get("use_image") and self.config.get("use_image_online"):
+            # online mode: per-item image path/URL comes from the item
+            # parquet's ``image`` column (reference dataload.py:205) instead
+            # of being derived as {image_dir}/{item_id}.jpg
+            keys.append("image")
         if self.config.get("neg_sample_mode", None) is not None:
             keys.append("interact_count")
         df = df[[k for k in keys if k in df.columns]]

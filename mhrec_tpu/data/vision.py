@@ -138,6 +138,20 @@ class ItemImageStore:
         self.root = os.path.join(str(image_dir), str(dataset)) if image_dir else ""
         self.id2token = dataload.id2token["item_id"]
         self._paths: Dict[int, Optional[str]] = {}
+        # use_image_online: the item parquet carries a per-item ``image``
+        # path column (reference dataload.py:205); takes precedence over the
+        # derived {image_dir}/{dataset}/{token}.jpg layout
+        self._online_paths: Dict[int, str] = {}
+        if config.get("use_image_online"):
+            item_text = getattr(dataload, "item_text", None)
+            if item_text is not None and "image" in item_text.columns:
+                self._online_paths = {
+                    int(i): str(p)
+                    for i, p in zip(
+                        item_text["int_item_id"].to_numpy(), item_text["image"]
+                    )
+                    if p
+                }
         # bounded LRU of preprocessed patches: training batches revisit
         # popular items constantly; 2048 entries ≈ 2.5 GB at 224²/14
         self._cache_cap = int(config.get("image_cache_items", 2048))
@@ -149,7 +163,10 @@ class ItemImageStore:
         if item_id in self._paths:
             return self._paths[item_id]
         p = None
-        if self.root and item_id > 0:
+        if item_id > 0 and item_id in self._online_paths:
+            cand = self._online_paths[item_id]
+            p = cand if os.path.isfile(cand) else None
+        elif self.root and item_id > 0:
             cand = os.path.join(self.root, f"{self.id2token[item_id]}.jpg")
             p = cand if os.path.isfile(cand) else None
         self._paths[item_id] = p

@@ -138,6 +138,10 @@ class Trainer:
         # trainer.py:153-154,376: update_interval default 20,
         # loss_decimal_place default 4)
         self.update_interval = int(config.get("update_interval") or 20)
+        # show_progress gates the per-iter progress line (the reference's
+        # tqdm bar, trainer.py:539); scalar sinks + NaN check stay on
+        sp = config.get("show_progress")
+        self.show_progress = True if sp is None else bool(sp)
         self.loss_decimal_place = int(config.get("loss_decimal_place") or 4)
         self.results_rows: list = []
 
@@ -422,13 +426,14 @@ class Trainer:
                 logs = {k: float(v) for k, v in out.items() if hasattr(v, "ndim")}
                 t_step += time.time() - ts
                 self._log_scalars(logs, step=it + 1, head="train")
-                logger.info(
-                    "iter %d/%d loss=%.*f lr=%.3e data=%.2fs step=%.2fs",
-                    it + 1, micro_steps, self.loss_decimal_place, loss,
-                    float(self.schedule(int(self.state.step) // self.accumulate_grad
-                                        if self.accumulate_grad > 1 else int(self.state.step))),
-                    t_data, t_step,
-                )
+                if self.show_progress:
+                    logger.info(
+                        "iter %d/%d loss=%.*f lr=%.3e data=%.2fs step=%.2fs",
+                        it + 1, micro_steps, self.loss_decimal_place, loss,
+                        float(self.schedule(int(self.state.step) // self.accumulate_grad
+                                            if self.accumulate_grad > 1 else int(self.state.step))),
+                        t_data, t_step,
+                    )
             else:
                 t_step += time.time() - ts
 

@@ -80,3 +80,23 @@ def test_valid_metric_bigger():
     assert c["valid_metric_bigger"] is False
     c = Config(config_file_list=["overall/ID.yaml"])
     assert c["valid_metric_bigger"] is True
+
+
+def test_use_ft_flash_attn_aliases_packed_tower():
+    # the reference's varlen flash-attn flag (hllm.py:56) maps to the packed
+    # splash tower unless dense is required (images / frozen item tower)
+    c = Config(
+        config_file_list=["overall/LLM.yaml"],
+        config_dict={"use_ft_flash_attn": True},
+    ).finalize()
+    assert c["packed_item_tower"] is True
+    c = Config(
+        config_file_list=["overall/LLM.yaml"],
+        config_dict={"use_ft_flash_attn": True, "use_image": True},
+    ).finalize()
+    assert c["packed_item_tower"] is False
+    c = Config(
+        config_file_list=["overall/LLM.yaml"],
+        config_dict={"use_ft_flash_attn": True, "packed_item_tower": False},
+    ).finalize()
+    assert c["packed_item_tower"] is False
