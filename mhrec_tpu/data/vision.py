@@ -28,7 +28,8 @@ OPENAI_CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 class ImagePreprocessor:
     def __init__(self, img_height: int, img_width: int, patch_size: int = 14,
-                 temporal_patch_size: int = 2, spatial_merge_size: int = 2):
+                 temporal_patch_size: int = 2, spatial_merge_size: int = 2,
+                 anyres_grid: Optional[tuple] = None):
         assert img_height % (patch_size * spatial_merge_size) == 0, (
             f"img_height={img_height} must be a multiple of "
             f"patch_size*merge={patch_size * spatial_merge_size}"
@@ -44,12 +45,38 @@ class ImagePreprocessor:
         self.n_patches = self.grid_h * self.grid_w
         self.n_tokens = self.n_patches // spatial_merge_size ** 2
         self.patch_dim = 3 * temporal_patch_size * patch_size ** 2
-        self._black = self._patchify(
+        # fixed-grid AnyRes (reference modeling_llava_next.py
+        # get_image_patches semantics at one pinned pinpoint): one base
+        # resize + gh×gw crops of a (gh·H, gw·W) resize. Crop count — and
+        # hence the image-token count incl. per-row newline tokens — is a
+        # compile-time constant, unlike HF's per-aspect-ratio pinpoints.
+        self.anyres_grid = tuple(anyres_grid) if anyres_grid else None
+        if self.anyres_grid:
+            assert spatial_merge_size == 1 and temporal_patch_size == 1, (
+                "anyres_grid requires a CLIP-arch tower (merge=1, tps=1)"
+            )
+            gh, gw = self.anyres_grid
+            self.n_crops = 1 + gh * gw
+            self.n_tokens = self.n_patches + (gh * self.grid_h) * (
+                gw * self.grid_w + 1
+            )
+        else:
+            self.n_crops = 1
+        self._black = self._multiply_crops(
             np.broadcast_to(
                 ((0.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD)[:, None, None],
                 (3, img_height, img_width),
             ).astype(np.float32)
         )
+
+    def _multiply_crops(self, chw: np.ndarray) -> np.ndarray:
+        """Uniform-color helper: all crops of a constant image are equal."""
+        base = self._patchify(np.ascontiguousarray(chw))
+        if not self.anyres_grid:
+            return base
+        return np.broadcast_to(
+            base[None], (self.n_crops, self.n_patches, self.patch_dim)
+        ).copy()
 
     def _patchify(self, chw: np.ndarray) -> np.ndarray:
         """[3, H, W] normalized → [n_patches, patch_dim], HF Qwen2-VL order."""
@@ -62,12 +89,29 @@ class ImagePreprocessor:
         x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
         return np.ascontiguousarray(x.reshape(self.n_patches, self.patch_dim))
 
-    def preprocess(self, image) -> np.ndarray:
-        """PIL image → [n_patches, patch_dim] float32."""
-        img = image.convert("RGB").resize((self.img_width, self.img_height))
-        arr = np.asarray(img, np.float32) / 255.0           # [H, W, 3]
+    def _norm_chw(self, img, w: int, h: int) -> np.ndarray:
+        arr = np.asarray(img.resize((w, h)), np.float32) / 255.0  # [H, W, 3]
         arr = (arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
-        return self._patchify(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+    def preprocess(self, image) -> np.ndarray:
+        """PIL image → [n_patches, patch_dim] float32 ([n_crops, P, dim]
+        under anyres_grid: base crop first, then grid crops row-major —
+        reference modeling_llava_next.py image_feature[0] = base)."""
+        img = image.convert("RGB")
+        base = self._patchify(self._norm_chw(img, self.img_width, self.img_height))
+        if not self.anyres_grid:
+            return base
+        gh, gw = self.anyres_grid
+        H, W = self.img_height, self.img_width
+        hi = self._norm_chw(img, gw * W, gh * H)            # [3, gh·H, gw·W]
+        crops = [base]
+        for r in range(gh):                                 # HF divide_to_patches order
+            for c in range(gw):
+                crops.append(self._patchify(np.ascontiguousarray(
+                    hi[:, r * H:(r + 1) * H, c * W:(c + 1) * W]
+                )))
+        return np.stack(crops, axis=0)
 
     def load(self, path: Optional[str]) -> np.ndarray:
         """Path (or None) → patches; black image on missing/broken files."""
@@ -85,7 +129,7 @@ class ImagePreprocessor:
         """Decode+patchify a batch. Pillow releases the GIL during JPEG
         decode/resize, so a thread pool keeps the host path off the train
         step's critical path (the reference uses 8 DataLoader workers)."""
-        out = np.empty((len(paths), self.n_patches, self.patch_dim), np.float32)
+        out = np.empty((len(paths),) + self._black.shape, np.float32)
         real = [(i, p) for i, p in enumerate(paths) if p]
         for i, p in enumerate(paths):
             if not p:
@@ -129,9 +173,11 @@ class ItemImageStore:
 
     def __init__(self, config, dataload):
         ps, tps, merge = resolve_patch_geometry(config)
+        anyres = config.get("anyres_grid") or None
         self.prep = ImagePreprocessor(
             int(config.get("img_height", 224)), int(config.get("img_width", 224)),
             patch_size=ps, temporal_patch_size=tps, spatial_merge_size=merge,
+            anyres_grid=tuple(int(x) for x in anyres) if anyres else None,
         )
         image_dir = config.get("image_dir") or ""
         dataset = config["dataset"]
@@ -174,9 +220,7 @@ class ItemImageStore:
 
     def batch(self, item_ids) -> np.ndarray:
         ids = [int(i) for i in item_ids]
-        out = np.empty(
-            (len(ids), self.prep.n_patches, self.prep.patch_dim), np.float32
-        )
+        out = np.empty((len(ids),) + self.prep._black.shape, np.float32)
         missing = []
         for row, iid in enumerate(ids):
             hit = self._patch_cache.get(iid)

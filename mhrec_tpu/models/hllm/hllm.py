@@ -463,9 +463,15 @@ def load_pretrained_towers(params, config):
             try:
                 sd = _load_state_dict(path)
                 if has_vision_weights(sd):
-                    params["visual"] = load_any_vision_params(
-                        sd, VisionConfig.from_pretrained_dir(path)
-                    )
+                    vcfg = VisionConfig.from_pretrained_dir(path)
+                    anyres = config.get("anyres_grid") or None
+                    if anyres:
+                        import dataclasses as _dc
+
+                        vcfg = _dc.replace(
+                            vcfg, anyres_grid=tuple(int(x) for x in anyres)
+                        )
+                    params["visual"] = load_any_vision_params(sd, vcfg)
             except (FileNotFoundError, ValueError):
                 pass
     # warm-start the learnable item-emb token(s) from a saved tensor
@@ -545,6 +551,15 @@ def hllm_from_config(config, dataload) -> HLLM:
                 vision_cfg = None
         if vision_cfg is None:
             vision_cfg = VisionConfig.tiny(item_cfg.hidden_size)
+        anyres = config.get("anyres_grid") or None
+        if anyres:
+            assert vision_cfg.arch == "clip", (
+                "anyres_grid is a LLaVA-family (CLIP tower) feature; the "
+                "Qwen2-VL tower uses its own native grid"
+            )
+            vision_cfg = _dc.replace(
+                vision_cfg, anyres_grid=tuple(int(x) for x in anyres)
+            )
         ih = int(config.get("img_height", 224))
         iw = int(config.get("img_width", 224))
         img_grid = (ih // vision_cfg.patch_size, iw // vision_cfg.patch_size)

@@ -55,6 +55,15 @@ class VisionConfig:
     layer_norm_eps: float = 1e-6
     patch_bias: bool = False         # siglip: conv patch embedding has a bias
     use_pre_ln: bool = True          # siglip: no pre-LN before the blocks
+    # fixed-grid AnyRes (clip arch only): (gh, gw) grid crops + base crop,
+    # packed with per-row image_newline tokens — reference
+    # modeling_llava_next.py pack_image_features at ONE pinned pinpoint so
+    # the image-token count stays a compile-time constant
+    anyres_grid: Optional[tuple] = None
+    # checkpoint-native position-table length (clip: (image_size/ps)² + cls);
+    # 0 → sized from the run grid. Declared at this size so pretrained
+    # tables load even when the run grid is smaller (sliced at apply time).
+    n_positions: int = 0
 
     @property
     def patch_dim(self) -> int:
@@ -96,6 +105,8 @@ class VisionConfig:
                 layer_norm_eps=v.get("layer_norm_eps", 1e-5),
                 patch_bias=v.get("model_type") == "siglip_vision_model",
                 use_pre_ln=v.get("model_type") != "siglip_vision_model",
+                n_positions=(v.get("image_size", 224) // v.get("patch_size", 14)) ** 2
+                + (0 if v.get("model_type") == "siglip_vision_model" else 1),
             )
         return cls(
             embed_dim=v.get("embed_dim", 1280),
@@ -265,12 +276,18 @@ class ClipVisionTower(nn.Module):
     @nn.compact
     def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
         c = self.config
+        n_crops = 1
+        if patches.ndim == 4:        # [N, n_crops, P, dim] — AnyRes crops
+            assert c.anyres_grid, "rank-4 patches require anyres_grid"
+            n_items, n_crops = patches.shape[:2]
+            assert n_crops == 1 + c.anyres_grid[0] * c.anyres_grid[1]
+            patches = patches.reshape((-1,) + patches.shape[2:])
         N, P, _ = patches.shape
         x = nn.Dense(c.embed_dim, use_bias=c.patch_bias, dtype=self.dtype,
                      name="patch_embed")(patches.astype(self.dtype))
         n_pos = P + (1 if c.use_cls_token else 0)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
-                         (n_pos, c.embed_dim))
+                         (max(n_pos, c.n_positions), c.embed_dim))
         # a pretrained table for a larger grid is sliced (exact when the run
         # resolution matches the checkpoint's, e.g. 224 for CLIP-L/14)
         pos = pos[:n_pos]
@@ -295,7 +312,32 @@ class ClipVisionTower(nn.Module):
             x = x[:, 1:]             # drop CLS (LLaVA "default" strategy)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc1")(x)
         h = nn.gelu(h, approximate=False)   # HF LLaVA projector uses exact gelu
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc2")(h)
+        feats = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc2")(h)
+        if n_crops == 1:
+            return feats
+        # pack_image_features (reference modeling_llava_next.py:407-…): base
+        # crop first, grid crops stitched into the global (gh·grid_h,
+        # gw·grid_w) feature map with an image_newline token per row.
+        # unpad_image is an exact no-op here: the host resizes every image
+        # to the pinned pinpoint, so there are no pad rows (documented
+        # deviation: aspect is distorted instead of padded).
+        gh, gw = c.anyres_grid
+        D = c.hidden_size
+        embed_std = 1.0 / np.sqrt(D)
+        newline = self.param(
+            "image_newline", nn.initializers.normal(embed_std), (D,)
+        ).astype(feats.dtype)
+        feats = feats.reshape(n_items, n_crops, P, D)
+        base = feats[:, 0]                                   # [N, P, D]
+        grid = feats[:, 1:].reshape(n_items, gh, gw, self.grid_h, self.grid_w, D)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n_items, gh * self.grid_h, gw * self.grid_w, D
+        )
+        nl = jnp.broadcast_to(
+            newline[None, None, None, :], (n_items, gh * self.grid_h, 1, D)
+        )
+        grid = jnp.concatenate([grid, nl], axis=2).reshape(n_items, -1, D)
+        return jnp.concatenate([base, grid], axis=1)
 
 
 def load_clip_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
@@ -330,6 +372,15 @@ def load_clip_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
         }
     if config.use_cls_token:
         params["class_embedding"] = t(f"{pre}.embeddings.class_embedding")
+    if config.anyres_grid:
+        if "image_newline" in sd:
+            params["image_newline"] = t("image_newline")
+        else:  # absent in non-anyres checkpoints: HF-style fresh init
+            rng = np.random.default_rng(0)
+            params["image_newline"] = (
+                rng.standard_normal(config.hidden_size)
+                / np.sqrt(config.hidden_size)
+            ).astype(dtype)
     for i in range(config.depth - 1):   # feature layer -2: last block unused
         lp = f"{pre}.encoder.layers.{i}"
         params[f"blocks_{i}"] = {

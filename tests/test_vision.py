@@ -423,3 +423,126 @@ def test_llava_clip_tower_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     assert stats["iters"] == 2
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+def test_anyres_preprocessor_crops():
+    """Fixed-grid AnyRes host side: base crop first, grid crops row-major,
+    each crop = patchify of the corresponding hi-res region (reference
+    modeling_llava_next.py get_image_patches at one pinned pinpoint)."""
+    from PIL import Image
+
+    prep = ImagePreprocessor(8, 8, patch_size=4, temporal_patch_size=1,
+                             spatial_merge_size=1, anyres_grid=(2, 2))
+    assert prep.n_crops == 5
+    # tokens = base P + (gh·grid_h)·(gw·grid_w + 1) newline-padded rows
+    assert prep.n_tokens == 4 + (2 * 2) * (2 * 2 + 1)
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (32, 48, 3), np.uint8), "RGB")
+    out = prep.preprocess(img)
+    assert out.shape == (5, prep.n_patches, prep.patch_dim)
+
+    base_prep = ImagePreprocessor(8, 8, patch_size=4, temporal_patch_size=1,
+                                  spatial_merge_size=1)
+    np.testing.assert_allclose(out[0], base_prep.preprocess(img), rtol=1e-6)
+    # crop (r, c) of the (16, 16) hi-res resize
+    hi = img.convert("RGB").resize((16, 16))
+    hi_arr = (np.asarray(hi, np.float32) / 255.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    hi_chw = hi_arr.transpose(2, 0, 1)
+    for r in range(2):
+        for c in range(2):
+            region = np.ascontiguousarray(hi_chw[:, r * 8:(r + 1) * 8, c * 8:(c + 1) * 8])
+            np.testing.assert_allclose(
+                out[1 + r * 2 + c], base_prep._patchify(region), rtol=1e-6
+            )
+    # black fallback covers all crops
+    assert prep._black.shape == out.shape
+
+
+def test_anyres_clip_pack_matches_reference_math():
+    """Rank-4 AnyRes input through ClipVisionTower == per-crop features
+    packed with the llava-next pack_image_features layout (base first, grid
+    stitched (gh,H,gw,W)→rows, image_newline per row)."""
+    import dataclasses
+
+    import jax
+
+    from mhrec_tpu.models.llm.vision import ClipVisionTower
+
+    vcfg = dataclasses.replace(
+        VisionConfig(arch="clip", embed_dim=16, depth=2, num_heads=2,
+                     intermediate_size=32, patch_size=4, temporal_patch_size=1,
+                     spatial_merge_size=1, hidden_size=24, use_cls_token=True),
+        anyres_grid=(2, 2),
+    )
+    tower = ClipVisionTower(vcfg, grid_h=2, grid_w=2, dtype=jnp.float32)
+    N, P = 3, 4
+    rng = np.random.default_rng(1)
+    patches = jnp.asarray(rng.normal(size=(N, 5, P, vcfg.patch_dim)), jnp.float32)
+    params = tower.init(jax.random.PRNGKey(0), patches)["params"]
+    packed = np.asarray(tower.apply({"params": params}, patches))
+    assert packed.shape == (N, 4 + (2 * 2) * (2 * 2 + 1), 24)
+
+    # per-crop features via the rank-3 (non-anyres) branch, same params
+    flat = np.asarray(
+        tower.apply({"params": params}, patches.reshape(N * 5, P, -1))
+    ).reshape(N, 5, P, 24)
+    newline = np.asarray(params["image_newline"])
+    for n in range(N):
+        np.testing.assert_allclose(packed[n, :P], flat[n, 0], rtol=1e-5)
+        grid = flat[n, 1:].reshape(2, 2, 2, 2, 24)          # [gh, gw, H, W, D]
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(4, 4, 24)
+        want = np.concatenate(
+            [grid, np.broadcast_to(newline, (4, 1, 24))], axis=1
+        ).reshape(-1, 24)
+        np.testing.assert_allclose(packed[n, P:], want, rtol=1e-5)
+
+
+def test_llava_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """HLLM + LLaVA tower with anyres_grid: fit + evaluate run, image span
+    sized base+grid+newlines."""
+    from PIL import Image
+
+    ckpt = str(tmp_path / "llava")
+    _write_tiny_llava_ckpt(ckpt)
+    image_dir = tmp_path / "imgs"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(6)
+    for i in range(10):
+        Image.fromarray(
+            rng.integers(0, 255, (20, 28, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_image=True,
+            anyres_grid=[2, 2],
+            image_dir=str(image_dir),
+            img_height=8, img_width=8,     # 2x2 patches: 4 + 4*5 = 24 img tokens
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=48,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_anyres")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
