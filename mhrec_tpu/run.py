@@ -40,7 +40,10 @@ def run_loop(config_files, extra_args, multihost: bool = False):
         jax.distributed.initialize()
 
     config = Config(config_file_list=config_files, cli_args=extra_args).finalize()
-    init_seed(config["seed"] or 2020, config["reproducibility"])
+    init_seed(
+        config["seed"] or 2020, config["reproducibility"],
+        prng_impl=config.get("prng_impl"),
+    )
     init_logger(config, process_index=jax.process_index())
     logger.info("configuration:\n%s", config.format_categorized())
 

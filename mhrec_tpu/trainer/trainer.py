@@ -63,6 +63,10 @@ class Trainer:
     def __init__(self, config, dataload):
         self.config = config
         self.dataload = dataload
+        if config.get("prng_impl"):
+            # library entry (bench/tests build Trainer without run_loop):
+            # select the PRNG impl before any key is created in setup_model
+            jax.config.update("jax_default_prng_impl", config["prng_impl"])
         self.model = build_model(config, dataload)
         self.collector = Collector(config)
         self.evaluator = Evaluator(config)
