@@ -29,6 +29,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mhrec_tpu.models.layers import cosine_normalize
 
@@ -54,8 +55,15 @@ def multi_horizon_nce(
     loss_weight: float = 1.0,
     extra_mask: Optional[jnp.ndarray] = None,  # [B, P, L] e.g. category mask
     compute_topk_log: bool = False,
+    impl: str = "banded",         # 'banded' | 'per_offset'
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (total_loss, per_pred_loss[P], log_dict)."""
+    if impl == "banded":
+        return _banded_nce(
+            head_embs, target_embs, neg_embs_norm, base_mask, head_for_pred,
+            horizon_discount, logit_scale, nce_thres, loss_weight, extra_mask,
+            compute_topk_log,
+        )
     B, H, L, D = head_embs.shape
     P = base_mask.shape[1]
     scale = clamp_logit_scale(logit_scale).astype(jnp.float32)
@@ -129,4 +137,119 @@ def multi_horizon_nce(
                 log_dict[f"nce_top{kk}_acc"] = jnp.sum(acc * m) / jnp.clip(cnt, 1.0, None)
 
     per_pred = jnp.stack(per_pred_loss)
+    return per_pred.sum(), per_pred, log_dict
+
+
+def _banded_nce(
+    head_embs, target_embs, neg_embs_norm, base_mask, head_for_pred,
+    horizon_discount, logit_scale, nce_thres, loss_weight, extra_mask,
+    compute_topk_log,
+):
+    """One-matmul multi-horizon NCE (identical math to the per-offset path).
+
+    The per-offset masked logsumexp reads the ``[B, L, M]`` logit table and a
+    shifted ``[B, L, M]`` false-negative slice P times each (the measured
+    bottleneck of the train step after the trunk). But masking only REMOVES
+    terms from the partition sum, and every offset's false-negative mask is a
+    shifted slice of one indicator ``G[b, j, m] = (tgt_j · neg_m > thres)``,
+    so for every offset at once:
+
+        lse_p[b, l]  = shift + log( keep[b, l, l+p] )
+        keep[b,l,j]  = Σ_m exp(scaled − shift)·(1−G[b,j,m])   (ONE batched
+                                                 matmul on the MXU; j = l+p)
+
+    which touches each big table once instead of P times. The kept partition
+    sum is contracted directly against the complement indicator — NOT as
+    ``full − masked`` — because the row max used for ``shift`` is often
+    itself a masked false negative (they are precisely the high-similarity
+    entries) and the subtraction would cancel catastrophically. ``G`` is a
+    stop-gradient boolean (the reference's masked_fill_ condition carries no
+    gradient either, hstu.py:614) so the backward pass is one more banded
+    matmul rather than P masked softmax sweeps.
+
+    Tail behavior: ``shift`` is the max over ALL negatives (masked included),
+    so when every kept logit is ≳88 log-units (= ``scale · cosine-gap``)
+    below a masked false-negative's, the kept sum underflows and the token's
+    CE reads 0 — reachable only at ``logit_scale`` near its ln(100) clamp
+    with an adversarial gap; the per-offset impl remains exact there.
+    """
+    B, H, L, D = head_embs.shape
+    P = base_mask.shape[1]
+    J = L + P - 1
+    scale = clamp_logit_scale(logit_scale).astype(jnp.float32)
+
+    heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
+    tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
+    neg_T = neg_embs_norm.astype(jnp.bfloat16).T            # [D, M]
+    tgtJ = tgt_norm[:, 1:]                                  # [B, J, D]
+
+    # false-negative indicator over ALL target offsets (bf16 0/1 so the
+    # correction is an MXU matmul; no gradient flows through a mask)
+    tgt_neg = jnp.einsum(
+        "bjd,dm->bjm", tgtJ.astype(jnp.bfloat16), neg_T,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # bf16 table like the per-offset path's `fix`
+    keep_ind = jax.lax.stop_gradient(
+        (tgt_neg <= nce_thres).astype(jnp.bfloat16)
+    )  # complement of the false-negative mask
+
+    # band index: offset p looks at target column j = l + p
+    band = jnp.arange(L)[:, None] + jnp.arange(P)[None, :]  # [L, P]
+
+    distinct = sorted(set(int(h) for h in head_for_pred))
+    lse_neg = {}
+    pos_band = {}
+    raw_cache = {}
+    for h in distinct:
+        out_h = heads_norm[:, h].astype(jnp.bfloat16)       # [B, L, D]
+        raw = jnp.einsum(
+            "bld,dm->blm", out_h, neg_T, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)                              # [B, L, M]
+        scaled = raw.astype(jnp.float32) * scale
+        shift = jax.lax.stop_gradient(jnp.max(scaled, axis=-1))  # [B, L]
+        s = jnp.exp(scaled - shift[:, :, None]).astype(jnp.bfloat16)
+        kept = jnp.einsum(
+            "blm,bjm->blj", s, keep_ind, preferred_element_type=jnp.float32
+        )                                                   # [B, L, J]
+        kept_b = jnp.take_along_axis(kept, band[None], axis=2)  # [B, L, P]
+        # floor guards log(0) (all negatives masked / kept sum underflowed):
+        # lse_neg then reads shift−69, i.e. "negatives negligible", and the
+        # sigmoid upstream of it is 0 — no -inf·0 NaN in the backward pass
+        lse_neg[h] = shift[:, :, None] + jnp.log(jnp.maximum(kept_b, 1e-30))
+        # positive logits for every offset via the same band trick
+        pos_full = jnp.einsum("bld,bjd->blj", heads_norm[:, h], tgtJ)
+        pos_band[h] = jnp.take_along_axis(pos_full, band[None], axis=2)
+        raw_cache[h] = raw
+
+    mask_full = base_mask if extra_mask is None else (base_mask & extra_mask)
+    m = mask_full.astype(jnp.float32)                       # [B, P, L]
+    hsel = np.asarray(head_for_pred, np.int32)
+    lse_neg_all = jnp.stack([lse_neg[int(h)][:, :, p] for p, h in enumerate(hsel)], 1)
+    pos_all = jnp.stack([pos_band[int(h)][:, :, p] for p, h in enumerate(hsel)], 1)
+    # [B, P, L] from here on
+    lse = jnp.logaddexp(pos_all * scale, lse_neg_all)
+    tok_ce = lse - pos_all * scale
+    cnt = jnp.sum(m, axis=(0, 2))                           # [P]
+    per_pred_mean = jnp.sum(tok_ce * m, axis=(0, 2)) / jnp.clip(cnt, 1.0, None)
+    per_pred = horizon_discount * loss_weight * per_pred_mean
+
+    log_dict: Dict[str, jnp.ndarray] = {}
+    if compute_topk_log:
+        h0 = int(hsel[0])
+        raw0 = jax.lax.stop_gradient(raw_cache[h0]).astype(jnp.float32)
+        k0 = keep_ind[:, :L].astype(bool)                   # offset p=0 slice
+        m0 = m[:, 0]
+        cnt0 = jnp.clip(m0.sum(), 1.0, None)
+        n_unmasked = jnp.sum(k0, axis=-1).astype(jnp.float32) + 1.0
+        log_dict["nce_samples"] = jnp.sum(n_unmasked * m0) / cnt0
+        pos0 = jax.lax.stop_gradient(pos_all[:, 0])
+        beaten = jnp.sum(
+            (raw0 > pos0[:, :, None]) & k0, axis=-1
+        )
+        for kk in (1, 5, 10, 50, 100):
+            if kk > raw0.shape[-1] + 1:
+                break
+            acc = (beaten < kk).astype(jnp.float32)
+            log_dict[f"nce_top{kk}_acc"] = jnp.sum(acc * m0) / cnt0
+
     return per_pred.sum(), per_pred, log_dict

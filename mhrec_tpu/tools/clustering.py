@@ -291,10 +291,16 @@ def _detect(graph, algorithm, resolution, seed):
 def build_item_cluster_dict(
     data, window: int = 5, min_count: int = 2, max_clusters: int = 32,
     tag_version: str = "v1", seed: int = 0, algorithm: str = "leiden",
-    resolution: float = 1.0,
+    resolution: float = 1.0, max_user_seq_len: Optional[int] = None,
 ) -> Dict:
-    """Cluster items; returns (prior-dict JSON payload, per-item cluster ids)."""
+    """Cluster items; returns (prior-dict JSON payload, per-item cluster ids).
+
+    max_user_seq_len: skip users with longer sequences when building the
+    item–item graph (reference item-clustering.py:45-69 caps at 200–2000 per
+    dataset — power users otherwise dominate the co-occurrence counts)."""
     seqs = [data.seq_of(u) for u in range(1, data.user_num)]
+    if max_user_seq_len is not None:
+        seqs = [s for s in seqs if len(s) <= max_user_seq_len]
     graph = cooccurrence_graph(seqs, data.item_num, window, min_count)
     clusters = _detect(graph, algorithm, resolution, seed)
     clusters = np.where(clusters >= max_clusters, -1, clusters)

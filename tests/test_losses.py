@@ -48,8 +48,9 @@ def reference_nce_numpy(
     return np.sum(per_pred), np.asarray(per_pred)
 
 
+@pytest.mark.parametrize("impl", ["per_offset", "banded"])
 @pytest.mark.parametrize("seg_heads,P", [(1, 3), (3, 3)])
-def test_multi_horizon_nce_parity(seg_heads, P):
+def test_multi_horizon_nce_parity(seg_heads, P, impl):
     rng = np.random.default_rng(0)
     B, L, D, M = 4, 6, 8, 32
     H = seg_heads
@@ -78,6 +79,7 @@ def test_multi_horizon_nce_parity(seg_heads, P):
         horizon_discount=jnp.asarray(lam),
         logit_scale=jnp.asarray(logit_scale),
         nce_thres=thres,
+        impl=impl,
     )
     ref_total, ref_per_pred = reference_nce_numpy(
         head_embs, target_embs, neg_norm, mask, head_for_pred, lam,
@@ -157,3 +159,59 @@ def test_gradients_flow_and_finite():
     g = jax.grad(f)(head)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.parametrize("force_f32", [True, False])
+@pytest.mark.parametrize("seg_heads,P,M", [(1, 4, 64), (2, 4, 48)])
+def test_banded_matches_per_offset_loss_and_grads(seg_heads, P, M, force_f32,
+                                                  monkeypatch):
+    """The banded (one-matmul) NCE must agree with the per-offset path on
+    value AND gradients — same math, different contraction order. With the
+    internal bf16 tables forced to f32 the agreement is exact (~1e-7); in
+    bf16 the two paths round at different points so only a loose bound
+    holds."""
+    if force_f32:
+        monkeypatch.setattr(jnp, "bfloat16", jnp.float32)
+    rng = np.random.default_rng(7)
+    B, L, D = 3, 6, 16
+    head = jnp.asarray(rng.normal(size=(B, seg_heads, L, D)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(B, L + P, D)), jnp.float32)
+    neg = rng.normal(size=(M, D)).astype(np.float32)
+    negn = jnp.asarray(neg / np.linalg.norm(neg, axis=-1, keepdims=True))
+    mask = rng.random((B, L + P)) > 0.2
+    base_mask = jnp.asarray(
+        np.stack([mask[:, :L] & mask[:, p + 1 : p + 1 + L] for p in range(P)], 1)
+    )
+    extra = jnp.asarray(rng.random((B, P, L)) > 0.3)
+    lam = 0.95 ** np.arange(P)
+    lam = jnp.asarray(lam / lam.sum(), jnp.float32)
+    hfp = np.arange(P) // max(P // seg_heads, 1)
+    ls = jnp.asarray(np.log(1 / 0.05), jnp.float32)
+    # a threshold low enough that some negatives actually get masked
+    thres = 0.2
+
+    def f(impl):
+        def inner(h, t, n, s):
+            total, per_pred, logs = multi_horizon_nce(
+                h, t, n, base_mask, hfp, lam, s, thres,
+                loss_weight=0.7, extra_mask=extra, compute_topk_log=True,
+                impl=impl,
+            )
+            return total, (per_pred, logs)
+        return inner
+
+    (tb, (ppb, logb)), gb = jax.value_and_grad(f("banded"), argnums=(0, 1, 2, 3),
+                                               has_aux=True)(head, tgt, negn, ls)
+    (tp, (ppp, logp)), gp = jax.value_and_grad(f("per_offset"), argnums=(0, 1, 2, 3),
+                                               has_aux=True)(head, tgt, negn, ls)
+    rtol, atol = (1e-5, 1e-6) if force_f32 else (5e-2, 1e-3)
+    np.testing.assert_allclose(float(tb), float(tp), rtol=max(rtol, 1e-5))
+    np.testing.assert_allclose(np.asarray(ppb), np.asarray(ppp), rtol=2e-2, atol=1e-4)
+    for a, b in zip(gb, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+    # some negatives were actually masked (otherwise the test is vacuous)
+    assert float(logb["nce_samples"]) < M + 1
+    for k in logp:
+        np.testing.assert_allclose(
+            float(logb[k]), float(logp[k]), rtol=2e-2, atol=1e-3
+        )
