@@ -54,6 +54,8 @@ class HLLM(nn.Module):
     item_num: int = 0              # needed for the frozen-table variable
     item_emb_token_n: int = 1
     gradient_checkpointing: bool = False
+    remat_policy: str = "full"  # 'full' | 'dots' (see LlamaBackbone)
+    nce_impl: str = "banded"    # 'banded' | 'per_offset' (models/losses.py)
     # image branch (reference hllm.py:399-464 qwen2-vl path): a vision tower
     # encodes each item's image into tokens spliced over the fixed
     # image-pad span of the item text
@@ -133,7 +135,8 @@ class HLLM(nn.Module):
             # decoder topology (RMSNorm + RoPE + GQA + SwiGLU)
             return LlamaBackbone(
                 cfg, dtype=self.dtype,
-                gradient_checkpointing=self.gradient_checkpointing, name=name,
+                gradient_checkpointing=self.gradient_checkpointing,
+                remat_policy=self.remat_policy, name=name,
             )
 
         if not self.freeze_item_llm:
@@ -578,6 +581,8 @@ def hllm_from_config(config, dataload) -> HLLM:
         item_num=dataload.item_num,
         item_emb_token_n=config.get("item_emb_token_n", 1) or 0,
         gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),
+        remat_policy=str(config.get("remat_policy") or "full"),
+        nce_impl=str(config.get("nce_impl") or "banded"),
         use_image=use_image,
         vision_config=vision_cfg,
         img_grid=img_grid,

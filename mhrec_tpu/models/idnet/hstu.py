@@ -145,6 +145,7 @@ class HSTU(nn.Module):
     share_seg_weights: bool = False
     use_seg_embed: bool = False
     attn_impl: str = "auto"
+    nce_impl: str = "banded"  # 'banded' | 'per_offset' (models/losses.py)
     # row-shard the item-embedding table over the named mesh axis (the
     # reference replicates the full 8M×D nn.Embedding per GPU, hstu.py:413 —
     # sharding it is what lets corpus-scale tables fit TPU HBM)
@@ -533,5 +534,6 @@ def hstu_from_config(config, dataload) -> HSTU:
         share_seg_weights=config.get("share_seg_weights", False),
         use_seg_embed=config.get("segment_embed", False),
         attn_impl=config.get("attn_impl", "auto"),
+        nce_impl=str(config.get("nce_impl") or "banded"),
         shard_items_axis="data" if config.get("shard_item_embedding", False) else None,
     )

@@ -181,6 +181,12 @@ class LlamaBackbone(nn.Module):
     config: LLMConfig
     dtype: Any = jnp.bfloat16
     gradient_checkpointing: bool = False
+    # 'full' = recompute everything in the layer on the backward pass (HF
+    # gradient-checkpointing semantics, ~25% step-time overhead measured at
+    # the HLLM bench shape); 'dots' = save matmul outputs, recompute only
+    # elementwise ops — near no-remat speed at a fraction of the activation
+    # memory. Ignored unless gradient_checkpointing.
+    remat_policy: str = "full"
 
     hidden_size: int = 0  # resolved from config at init
 
@@ -254,7 +260,10 @@ class LlamaBackbone(nn.Module):
 
         layer_cls = LlamaLayer
         if self.gradient_checkpointing:
-            layer_cls = nn.remat(LlamaLayer, static_argnums=())
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_saveable
+            layer_cls = nn.remat(LlamaLayer, static_argnums=(), policy=policy)
         for i in range(c.num_hidden_layers):
             x = layer_cls(c, self.dtype, name=f"layers_{i}")(
                 x, mask_bias, cos, sin, segment_ids

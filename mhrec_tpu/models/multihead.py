@@ -62,6 +62,7 @@ def compute_multihead_losses(
             logit_scale=model._logit_scale(),
             nce_thres=model.nce_thres,
             compute_topk_log=True,
+            impl=getattr(model, "nce_impl", "banded"),
         )
         total = total + loss_nce
         model_out.update(logs)
@@ -123,6 +124,7 @@ def compute_multihead_losses(
                 loss_weight=float(model.prior_loss_weight[c]),
                 extra_mask=prior_win,
                 compute_topk_log=(c == 0),
+                impl=getattr(model, "nce_impl", "banded"),
             )
             total = total + loss_c
             per_pred_accum = per_pred_accum + per_pred
