@@ -410,6 +410,8 @@ class Trainer:
         stop_flag = False
         cur_step = 0
         t_data = t_step = 0.0
+        t_steady = None
+        it_steady = 0
         t0 = time.time()
         logs: Dict[str, float] = {}
         start_it = int(self.state.step)  # nonzero after resume
@@ -429,6 +431,10 @@ class Trainer:
                     raise RuntimeError(f"NaN loss at iter {it}")
                 logs = {k: float(v) for k, v in out.items() if hasattr(v, "ndim")}
                 t_step += time.time() - ts
+                if t_steady is None:
+                    # first fetch forces the jit compile + first execution —
+                    # from here on the loop is steady-state
+                    t_steady, it_steady = time.time(), it + 1
                 self._log_scalars(logs, step=it + 1, head="train")
                 if self.show_progress:
                     logger.info(
@@ -473,11 +479,22 @@ class Trainer:
         wall = time.time() - t0
         n_done = it + 1 - start_it
         n_examples = n_done * self.config["train_batch_size"]
+        rate = n_examples / max(wall, 1e-9)
+        steady_rate = rate
+        if t_steady is not None and it + 1 > it_steady:
+            steady_rate = (
+                (it + 1 - it_steady) * self.config["train_batch_size"]
+                / max(time.time() - t_steady, 1e-9)
+            )
         logger.info(
-            "fit done: %d micro-steps, %.1fs, %.1f examples/s",
-            n_done, wall, n_examples / max(wall, 1e-9),
+            "fit done: %d micro-steps, %.1fs, %.1f examples/s"
+            " (%.1f steady-state, excluding compile/warmup)",
+            n_done, wall, rate, steady_rate,
         )
-        return {"iters": n_done, "wall_s": wall, "examples_per_s": n_examples / max(wall, 1e-9), **logs}
+        return {
+            "iters": n_done, "wall_s": wall, "examples_per_s": rate,
+            "steady_examples_per_s": steady_rate, **logs,
+        }
 
     # ------------------------------------------------------------------
     # checkpointing
