@@ -83,6 +83,61 @@ class STULayer(nn.Module):
         return x + out
 
 
+class ScannedSTUStack(nn.Module):
+    """``lax.scan`` over ``n_layers`` identical STU blocks.
+
+    Functionally equivalent to the unrolled layer list (same math per
+    layer; parameters stack along a leading [n_layers, ...] axis instead of
+    living under ``stu_{i}`` names) but compiles a single layer body.
+
+    Tradeoff measured at size4 on v5e: train-step compile ~180 s → ~40 s,
+    steady step 29.4 → 45.4 ms (XLA can no longer specialize/fuse across
+    layers). Use for development iteration loops (``scan_layers: true``),
+    keep the unrolled default for production runs. Checkpoints are NOT
+    interchangeable between the two layouts. Relative-bias modules are
+    per-layer parameters and stay on the unrolled path.
+    """
+
+    n_layers: int
+    embedding_dim: int
+    linear_dim: int
+    attention_dim: int
+    num_heads: int
+    dropout_ratio: float
+    linear_activation: str = "silu"
+    attn_impl: str = "auto"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        stack = self  # closure for field access inside the scan body
+
+        class Body(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                carry = STULayer(
+                    embedding_dim=stack.embedding_dim,
+                    linear_dim=stack.linear_dim,
+                    attention_dim=stack.attention_dim,
+                    num_heads=stack.num_heads,
+                    dropout_ratio=stack.dropout_ratio,
+                    linear_activation=stack.linear_activation,
+                    attn_impl=stack.attn_impl,
+                    dtype=stack.dtype,
+                    name="stu",
+                )(carry, attn_mask, deterministic=deterministic)
+                return carry, None
+
+        scan = nn.scan(
+            Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.n_layers,
+        )
+        x, _ = scan(name="layers")(x, None)
+        return x
+
+
 class MedusaHead(nn.Module):
     """Stack of ResBlocks; identity when num_layers == 0."""
 
@@ -146,6 +201,7 @@ class HSTU(nn.Module):
     use_seg_embed: bool = False
     attn_impl: str = "auto"
     nce_impl: str = "banded"  # 'banded' | 'per_offset' (models/losses.py)
+    scan_layers: bool = False  # lax.scan trunk (see ScannedSTUStack)
     # row-shard the item-embedding table over the named mesh axis (the
     # reference replicates the full 8M×D nn.Embedding per GPU, hstu.py:413 —
     # sharding it is what lets corpus-scale tables fit TPU HBM)
@@ -206,8 +262,12 @@ class HSTU(nn.Module):
             self.max_seq_length + 1, D, embedding_init=trunc_normal_init,
             name="position_embedding",
         )
-        self.stu_layers = [
-            STULayer(
+        if self.scan_layers:
+            assert not self.enable_relative_attention_bias, (
+                "scan_layers is incompatible with per-layer relative bias"
+            )
+            self.stu_stack = ScannedSTUStack(
+                n_layers=self.n_layers,
                 embedding_dim=D,
                 linear_dim=D // self.n_heads,
                 attention_dim=D // self.n_heads,
@@ -216,10 +276,24 @@ class HSTU(nn.Module):
                 linear_activation=self.hidden_act or "silu",
                 attn_impl=self.attn_impl,
                 dtype=self.dtype,
-                name=f"stu_{i}",
+                name="stu_stack",
             )
-            for i in range(self.n_layers)
-        ]
+            self.stu_layers = []
+        else:
+            self.stu_layers = [
+                STULayer(
+                    embedding_dim=D,
+                    linear_dim=D // self.n_heads,
+                    attention_dim=D // self.n_heads,
+                    num_heads=self.n_heads,
+                    dropout_ratio=self.hidden_dropout_prob,
+                    linear_activation=self.hidden_act or "silu",
+                    attn_impl=self.attn_impl,
+                    dtype=self.dtype,
+                    name=f"stu_{i}",
+                )
+                for i in range(self.n_layers)
+            ]
         if self.enable_relative_attention_bias:
             from mhrec_tpu.models.idnet.rel_bias import RelativePositionalBias
 
@@ -317,6 +391,8 @@ class HSTU(nn.Module):
         # reference get_attention_mask (hstu.py:1023-1030): tril of the
         # broadcast non-pad KEY mask
         mask = (non_pad[:, None, None, :] & causal[None, None, :, :])
+        if self.scan_layers:
+            return self.stu_stack(x, mask, deterministic=deterministic)
         for i, layer in enumerate(self.stu_layers):
             bias = None
             if self.enable_relative_attention_bias:
@@ -535,5 +611,6 @@ def hstu_from_config(config, dataload) -> HSTU:
         use_seg_embed=config.get("segment_embed", False),
         attn_impl=config.get("attn_impl", "auto"),
         nce_impl=str(config.get("nce_impl") or "banded"),
+        scan_layers=bool(config.get("scan_layers", False)),
         shard_items_axis="data" if config.get("shard_item_embedding", False) else None,
     )

@@ -221,3 +221,55 @@ def test_hstu_relative_bias_flag(synth_dir):
     assert "rel_bias_0" in params["params"]
     out = model.apply(params, batch, deterministic=True)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True must compute exactly the unrolled trunk: stacking the
+    per-layer `stu_{i}` params along axis 0 into the scanned layout
+    reproduces the forward bit-for-bit (same per-layer math, one jit body)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mhrec_tpu.models.idnet.hstu import HSTU
+
+    kw = dict(
+        item_num=50, item_embedding_size=16, hstu_embedding_size=16,
+        max_seq_length=8, pred_len=2, n_layers=3, n_heads=2,
+        hidden_dropout_prob=0.0, eval_pred_len=2,
+    )
+    unrolled = HSTU(**kw)
+    scanned = HSTU(scan_layers=True, **kw)
+
+    rng = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+           "mix": jax.random.PRNGKey(2)}
+    items = jnp.asarray(np.random.default_rng(0).integers(1, 50, (4, 8)))
+    pu = unrolled.init(rng, {"items": jnp.pad(items, ((0, 0), (0, 2))),
+                             "neg_items": jnp.ones((4, 1, 8), jnp.int32),
+                             "masked_index": jnp.ones((4, 10), jnp.int32)},
+                       deterministic=True)["params"]
+    ps = scanned.init(rng, {"items": jnp.pad(items, ((0, 0), (0, 2))),
+                            "neg_items": jnp.ones((4, 1, 8), jnp.int32),
+                            "masked_index": jnp.ones((4, 10), jnp.int32)},
+                      deterministic=True)["params"]
+
+    # graft the unrolled layer params into the scanned stacked layout
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs, axis=0),
+        *[pu[f"stu_{i}"] for i in range(3)],
+    )
+    ps = dict(ps)
+    ps["stu_stack"] = {"layers": {"stu": stacked}}
+    for k in pu:
+        if not k.startswith("stu_"):
+            ps[k] = pu[k]
+
+    out_u = unrolled.apply(
+        {"params": pu}, items, method=lambda m, x: m.encode(x, deterministic=True)
+    )
+    out_s = scanned.apply(
+        {"params": ps}, items, method=lambda m, x: m.encode(x, deterministic=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u, np.float32), np.asarray(out_s, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
