@@ -354,8 +354,13 @@ class Trainer:
                 )(state.params, sub0)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
+                # row-update from the PRE-apply table: the table's optax
+                # update is set_to_zero, so the values are identical, but
+                # consuming state.params here lets XLA dead-code-eliminate
+                # apply_updates' add-zero over the full [N, D] table (a
+                # runtime-zeros add is a full read+write HBM pass otherwise)
                 new_table, m, v = sparse_adamw_row_update(
-                    params["item_embedding"]["embedding"],
+                    state.params["item_embedding"]["embedding"],
                     state.table_m, state.table_v,
                     ids, umask, g_sub,
                     lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
