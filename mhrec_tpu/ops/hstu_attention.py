@@ -46,15 +46,20 @@ def hstu_attention(q, k, v, mask, impl: str = "auto", bias=None):
     if bias is not None:
         return hstu_attention_xla(q, k, v, mask, bias)
     if impl == "pallas":
-        from mhrec_tpu.ops.pallas.hstu_attention_tpu import hstu_attention_pallas
+        from mhrec_tpu.ops.pallas.hstu_attention_tpu import hstu_attention_pallas_v2
 
-        return hstu_attention_pallas(q, k, v, mask)
+        return hstu_attention_pallas_v2(q, k, v, mask)
     if impl == "auto":
-        # Measured on TPU v5e (B=32, H=8, D=64, bf16):
-        #   L=400:  XLA fwd 0.52 ms / Pallas 0.84 ms; fwd+bwd 1.83 / 2.00 ms
-        #   L=1024: XLA fwd 1.21 ms / Pallas 2.07 ms
-        # XLA's fusion of silu+mask into the two matmuls is already
-        # near-roofline for this pattern, so 'auto' resolves to XLA; the
-        # Pallas kernel stays available via attn_impl='pallas'.
-        pass
+        # Measured on TPU v5e (bf16, fwd / fwd+bwd ms):
+        #   L=50  B=64 H=16: XLA 0.57/0.83 · pallas-v2 0.65/1.19 → XLA
+        #   L=400 B=32 H=8:  XLA 0.82/1.88 · pallas-v2 0.79/1.74 → v2 (−8%)
+        # At short L XLA's fused batched-gemm wins (grid overhead dominates
+        # the kernel); at L≥256 the v2 head-chunked kernel avoids the
+        # [B, H, L, L] score round-trip and pulls ahead.
+        if jax.default_backend() == "tpu" and q.shape[1] >= 256:
+            from mhrec_tpu.ops.pallas.hstu_attention_tpu import (
+                hstu_attention_pallas_v2,
+            )
+
+            return hstu_attention_pallas_v2(q, k, v, mask)
     return hstu_attention_xla(q, k, v, mask)

@@ -189,3 +189,169 @@ def hstu_attention_pallas(q, k, v, mask, interpret: bool = False):
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, L, Dv)
     out = _hstu_attention_bhld(qt, kt, vt, nonpad, L, interpret)
     return out.reshape(B, H, L, Dv).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# v2: head-chunked programs over [B, H, L, D] — fewer grid programs than v1's
+# one-(b,h)-per-program layout (grid overhead dominated at short L), and K/V
+# panels for a whole head chunk ride one DMA.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_v2(nonpad_ref, q_ref, k_ref, v_ref, o_ref, *, n_real: int,
+                   tq: int, hc: int):
+    qi = pl.program_id(2)
+    nonpad = nonpad_ref[0, 0]               # [L]
+    L = k_ref.shape[2]
+    rows = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
+    mask = (cols <= rows) & (nonpad[None, :] > 0)
+    for h in range(hc):
+        q = q_ref[0, h]                     # [TQ, D]
+        k = k_ref[0, h]                     # [L, D]
+        v = v_ref[0, h]                     # [L, Dv]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = _silu(s) * (1.0 / n_real)
+        s = jnp.where(mask, s, 0.0).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            s, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_v2(nonpad_ref, q_ref, k_ref, v_ref, g_ref,
+                   dq_ref, dk_ref, dv_ref, *, n_real: int, hc: int):
+    nonpad = nonpad_ref[0, 0]
+    L = q_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    mask = (cols <= rows) & (nonpad[None, :] > 0)
+    for h in range(hc):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h]
+        x = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sig = jax.nn.sigmoid(x)
+        a = jnp.where(mask, x * sig * (1.0 / n_real), 0.0).astype(v.dtype)
+        dv_ref[0, h] = jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        da = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dsilu = sig * (1.0 + x * (1.0 - sig))
+        ds = jnp.where(mask, da * dsilu * (1.0 / n_real), 0.0).astype(q.dtype)
+        dq_ref[0, h] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[0, h] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+
+def _pick_hc(H: int) -> int:
+    for c in (8, 4, 2):
+        if H % c == 0:
+            return c
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _hstu_attention_bhld_v2(q, k, v, nonpad, n_real: int, interpret: bool):
+    out, _ = _fwd_v2(q, k, v, nonpad, n_real, interpret)
+    return out
+
+
+def _fwd_v2(q, k, v, nonpad, n_real, interpret):
+    B, H, L, D = q.shape
+    Dv = v.shape[-1]
+    L_pad = _round_up(L, 128)
+    tq = min(L_pad, 256)
+    hc = _pick_hc(H)
+    qp = _pad_to(q, L_pad, 2)
+    kp = _pad_to(k, L_pad, 2)
+    vp = _pad_to(v, L_pad, 2)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]  # [B,1,L]
+
+    grid = (B, H // hc, L_pad // tq)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, n_real=n_real, tq=tq, hc=hc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, L_pad), lambda b, h, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, tq, D), lambda b, h, i: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, L_pad, D), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc, L_pad, Dv), lambda b, h, i: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hc, tq, Dv), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, L_pad, Dv), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L_pad * L_pad * (D + Dv),
+            bytes_accessed=2 * B * H * L_pad * (2 * D + 2 * Dv),
+            transcendentals=B * H * L_pad * L_pad,
+        ),
+        interpret=interpret,
+    )(np_pad, qp, kp, vp)
+    return out[:, :, :L], (q, k, v, nonpad)
+
+
+def _bwd_v2(n_real, interpret, res, g):
+    q, k, v, nonpad = res
+    B, H, L, D = q.shape
+    Dv = v.shape[-1]
+    L_pad = _round_up(L, 128)
+    hc = _pick_hc(H)
+    qp = _pad_to(q, L_pad, 2)
+    kp = _pad_to(k, L_pad, 2)
+    vp = _pad_to(v, L_pad, 2)
+    gp = _pad_to(g, L_pad, 2)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]
+
+    spec_d = pl.BlockSpec((1, hc, L_pad, D), lambda b, h: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_dv = pl.BlockSpec((1, hc, L_pad, Dv), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, n_real=n_real, hc=hc),
+        grid=(B, H // hc),
+        in_specs=[
+            pl.BlockSpec((1, 1, L_pad), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_d, spec_d, spec_dv, spec_dv,
+        ],
+        out_specs=[spec_d, spec_d, spec_dv],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, L_pad, Dv), v.dtype),
+        ],
+        interpret=interpret,
+    )(np_pad, qp, kp, vp, gp)
+    return dq[:, :, :L], dk[:, :, :L], dv[:, :, :L], None
+
+
+_hstu_attention_bhld_v2.defvjp(
+    lambda q, k, v, nonpad, n_real, interpret: _fwd_v2(q, k, v, nonpad, n_real, interpret),
+    _bwd_v2,
+)
+
+
+def hstu_attention_pallas_v2(q, k, v, mask, interpret: bool = False):
+    """Head-chunked kernel: [B, L, H, D] in/out; internally [B, H, L, D]."""
+    B, L, H, D = q.shape
+    Dv = v.shape[-1]
+    nonpad = mask[:, 0, L - 1, :]  # last query row sees every non-pad key
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _hstu_attention_bhld_v2(qt, kt, vt, nonpad, L, interpret)
+    return out.transpose(0, 2, 1, 3)

@@ -51,3 +51,38 @@ def test_pallas_full_nonpad():
     ref = hstu_attention_xla(q, k, v, mask)
     out = hstu_attention_pallas(q, k, v, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_v2_matches_xla_fwd_and_grads():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mhrec_tpu.ops.hstu_attention import hstu_attention_xla
+    from mhrec_tpu.ops.pallas.hstu_attention_tpu import hstu_attention_pallas_v2
+
+    rng = np.random.default_rng(5)
+    B, L, H, D = 2, 10, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+    nonpad = np.ones((B, L), bool)
+    nonpad[1, 7:] = False
+    causal = np.tril(np.ones((L, L), bool))
+    mask = jnp.asarray(nonpad[:, None, None, :] & causal[None, None])
+
+    out_ref = hstu_attention_xla(q, k, v, mask)
+    out_v2 = hstu_attention_pallas_v2(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_v2), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(hstu_attention_xla(q, k, v, mask) ** 2)
+
+    def loss_v2(q, k, v):
+        return jnp.sum(hstu_attention_pallas_v2(q, k, v, mask, interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_v2 = jax.grad(loss_v2, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_v2, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
