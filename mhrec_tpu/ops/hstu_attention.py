@@ -51,15 +51,13 @@ def hstu_attention(q, k, v, mask, impl: str = "auto", bias=None):
         return hstu_attention_pallas_v2(q, k, v, mask)
     if impl == "auto":
         # Measured on TPU v5e (bf16, fwd / fwd+bwd ms):
-        #   L=50  B=64 H=16: XLA 0.57/0.83 · pallas-v2 0.65/1.19 → XLA
-        #   L=400 B=32 H=8:  XLA 0.82/1.88 · pallas-v2 0.79/1.74 → v2 (−8%)
-        # At short L XLA's fused batched-gemm wins (grid overhead dominates
-        # the kernel); at L≥256 the v2 head-chunked kernel avoids the
-        # [B, H, L, L] score round-trip and pulls ahead.
-        if jax.default_backend() == "tpu" and q.shape[1] >= 256:
-            from mhrec_tpu.ops.pallas.hstu_attention_tpu import (
-                hstu_attention_pallas_v2,
-            )
-
-            return hstu_attention_pallas_v2(q, k, v, mask)
+        #   L=50  B=64 H=16: XLA 0.57/0.83 · pallas-v2 0.65/1.19
+        #   L=400 B=32 H=8:  XLA 0.82/1.88 · pallas-v2 0.79/1.74
+        # The v2 head-chunked kernel wins the ISOLATED op at L≥400, but in
+        # the full STU layer XLA fuses the attention with its neighbors
+        # (mask build, gating) and the kernel's layout transposes cost more
+        # than it saves — end-to-end merrec-shape step: XLA 34.4 ms vs v2
+        # 36.5 ms. 'auto' therefore resolves to XLA at every shape;
+        # attn_impl='pallas' opts into the kernel.
+        pass
     return hstu_attention_xla(q, k, v, mask)
