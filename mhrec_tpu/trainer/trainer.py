@@ -577,7 +577,12 @@ class Trainer:
                 return self.extra_vars["frozen"]["all_item_embeds"]
             from mhrec_tpu.data.textset import BatchTextBatcher
 
-            corpus = BatchTextBatcher(self.config, self.dataload)
+            # reuse across evals: the batcher's ItemTextCache holds every
+            # item's token array, so rebuilding it re-tokenized the whole
+            # corpus each eval
+            if getattr(self, "_corpus_batcher", None) is None:
+                self._corpus_batcher = BatchTextBatcher(self.config, self.dataload)
+            corpus = self._corpus_batcher
             if not hasattr(self, "_item_chunk_fn") or self._item_chunk_fn is None:
                 self._item_chunk_fn = jax.jit(
                     lambda p, tok, lens, px: self.model.apply(
@@ -588,7 +593,11 @@ class Trainer:
                 )
             packed_fn = None
             chunks = []
-            for cb in corpus.batches():
+            from mhrec_tpu.data.trainset import _prefetch_iterator
+
+            # overlap host chunk prep (token-matrix gathers, H2D staging)
+            # with the device compute of the previous chunk
+            for cb in _prefetch_iterator(corpus.batches(), 2):
                 if "packed_tokens" in cb:
                     if packed_fn is None:
                         packed_fn = jax.jit(
