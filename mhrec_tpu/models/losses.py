@@ -56,20 +56,25 @@ def multi_horizon_nce(
     extra_mask: Optional[jnp.ndarray] = None,  # [B, P, L] e.g. category mask
     compute_topk_log: bool = False,
     impl: str = "banded",         # 'banded' | 'per_offset'
+    inputs_normalized: bool = False,  # head/target embs already L2-normalized
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (total_loss, per_pred_loss[P], log_dict)."""
     if impl == "banded":
         return _banded_nce(
             head_embs, target_embs, neg_embs_norm, base_mask, head_for_pred,
             horizon_discount, logit_scale, nce_thres, loss_weight, extra_mask,
-            compute_topk_log,
+            compute_topk_log, inputs_normalized,
         )
     B, H, L, D = head_embs.shape
     P = base_mask.shape[1]
     scale = clamp_logit_scale(logit_scale).astype(jnp.float32)
 
-    heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
-    tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
+    if inputs_normalized:
+        heads_norm = head_embs.astype(jnp.float32)
+        tgt_norm = target_embs.astype(jnp.float32)
+    else:
+        heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
+        tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
 
     # one negative matmul per *distinct* head (bf16 on the MXU, f32 accum,
     # bf16 table storage — the logits are bf16 under the reference's
@@ -143,7 +148,7 @@ def multi_horizon_nce(
 def _banded_nce(
     head_embs, target_embs, neg_embs_norm, base_mask, head_for_pred,
     horizon_discount, logit_scale, nce_thres, loss_weight, extra_mask,
-    compute_topk_log,
+    compute_topk_log, inputs_normalized=False,
 ):
     """One-matmul multi-horizon NCE (identical math to the per-offset path).
 
@@ -178,8 +183,12 @@ def _banded_nce(
     J = L + P - 1
     scale = clamp_logit_scale(logit_scale).astype(jnp.float32)
 
-    heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
-    tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
+    if inputs_normalized:
+        heads_norm = head_embs.astype(jnp.float32)
+        tgt_norm = target_embs.astype(jnp.float32)
+    else:
+        heads_norm = cosine_normalize(head_embs.astype(jnp.float32))
+        tgt_norm = cosine_normalize(target_embs.astype(jnp.float32))
     neg_T = neg_embs_norm.astype(jnp.bfloat16).T            # [D, M]
     tgtJ = tgt_norm[:, 1:]                                  # [B, J, D]
 

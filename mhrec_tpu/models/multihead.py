@@ -72,6 +72,13 @@ def compute_multihead_losses(
                 model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
 
     if run_prior:
+        from mhrec_tpu.models.layers import cosine_normalize
+
+        # hoist the L2 normalization out of the per-category NCE calls —
+        # with num_prior_head categories the [B, H, L, D] head tensor would
+        # otherwise be re-normalized once per category
+        heads_n = cosine_normalize(head_embs.astype(jnp.float32))
+        tgts_n = cosine_normalize(pos_items_embs.astype(jnp.float32))
         tags = tag_categories.astype(bool)
         seg_len = P if model.head_interaction == "additive" else model.seg_len
         segment_for_pred = np.arange(P) // seg_len
@@ -113,8 +120,9 @@ def compute_multihead_losses(
                 head_for_pred = segment_for_pred * model.num_prior_head + c
 
             loss_c, per_pred, logs = multi_horizon_nce(
-                head_embs=head_embs,
-                target_embs=pos_items_embs,
+                head_embs=heads_n,
+                target_embs=tgts_n,
+                inputs_normalized=True,
                 neg_embs_norm=neg_norm,
                 base_mask=base_mask,
                 head_for_pred=head_for_pred,
