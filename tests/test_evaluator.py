@@ -160,3 +160,28 @@ def test_coverage_diversity_metrics():
     for key in ("itemcoverage@10", "shannonentropy@10", "giniindex@10",
                 "tailpercentage@10", "averagepopularity@10"):
         assert key in res
+
+
+def test_value_metrics_match_numpy():
+    """MAE / RMSE / LogLoss (the reference's EvaluatorType.VALUE path,
+    metrics.py:347-420) against direct numpy formulas."""
+    from mhrec_tpu.evaluator.metrics import MAE, RMSE, LogLoss
+
+    class _Struct(dict):
+        def get(self, k):
+            return self[k]
+
+    rng = np.random.default_rng(11)
+    preds = rng.uniform(0.01, 0.99, size=(64, 1)).astype(np.float32)
+    trues = (rng.random((64, 1)) > 0.5).astype(np.float32)
+    struct = _Struct({"rec.score": preds, "data.label": trues})
+
+    cfg = Config(config_file_list=["overall/ID.yaml"]).finalize()
+    p, t = preds.squeeze(-1), trues.squeeze(-1)
+    got = MAE(cfg).calculate_metric(struct)["mae"]
+    np.testing.assert_allclose(got, np.abs(p - t).mean(), atol=1e-4)
+    got = RMSE(cfg).calculate_metric(struct)["rmse"]
+    np.testing.assert_allclose(got, np.sqrt(((p - t) ** 2).mean()), atol=1e-4)
+    got = LogLoss(cfg).calculate_metric(struct)["logloss"]
+    ref = np.mean(-t * np.log(p) - (1 - t) * np.log(1 - p))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
