@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
-# HSTU single-head NCE baseline on EB-NeRD (reference
-# reproduce/HSTU-EBNerd-base.slurm: size3, seq 50, bs 128, 8192 negatives,
-# cluster-as-tag priors v3 used for eval splits only, pred_len 1 / eval 8).
+# HSTU baseline on EB-NeRD-512 (size3, item-cluster tags).
+# Faithful override set from reference reproduce/HSTU-EBNerd-base.slurm (workload flags only; SLURM/
+# infra flags dropped). train_batch_size here is the GLOBAL batch =
+# reference per-GPU batch x its world size (4x128); the data mesh shards it
+# across however many chips are present.
 set -euo pipefail
 DATA_PATH=${DATA_PATH:-./dataset}
 TEXT_PATH=${TEXT_PATH:-./information/eb_nerd_512-info.parquet}
@@ -12,21 +14,30 @@ python -m mhrec_tpu.run \
   --dataset eb_nerd_512 \
   --text_path "$TEXT_PATH" \
   --MAX_ITEM_LIST_LENGTH 50 \
-  --min_seq_len 100 \
-  --train_batch_size 128 \
   --optim_args.learning_rate 1e-4 \
-  --num_negatives 8192 \
-  --total_iters 30000 \
-  --eval_interval 3000 \
   --loss nce \
+  --num_negatives 8192 \
+  --accumulate_grad 1 \
+  --train_batch_size 512 \
+  --gradient_checkpointing True \
+  --text_keys '["title","tag","subtitle","topics"]' \
+  --suppress_history False \
   --medusa_num_layers 0 \
   --num_segment_head 1 \
   --num_prior_head 1 \
+  --head_interaction multiplicative \
+  --split_mode combine \
+  --use_image False \
   --pred_len 1 \
   --eval_pred_len 8 \
+  --medusa_lambda 0.99 \
+  --total_iters 30000 \
+  --eval_interval 3000 \
   --eval_num_cats 8 \
-  --tag_version v3 \
-  --cluster_as_tag True \
-  --outlier_user_metrics category \
   --log_detailed_results True \
-  --gradient_checkpointing True
+  --tag_version v3 \
+  --min_seq_len 100 \
+  --outlier_user_metrics category \
+  --cluster_as_tag True \
+  --eval_by_cat False \
+  "$@"

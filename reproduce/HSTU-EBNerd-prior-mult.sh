@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
-# HSTU multiplicative prior heads on EB-NeRD (reference
-# reproduce/HSTU-EBNerd-prior-mult.slurm: size2, 7 user-cluster prior heads
-# (tag v16), per-category negatives, weighted prior loss, segment embedding).
+# HSTU + multiplicative prior heads on EB-NeRD-512 (7 cluster categories).
+# Faithful override set from reference reproduce/HSTU-EBNerd-prior-mult.slurm:48-69 (workload flags only; SLURM/
+# infra flags dropped). train_batch_size here is the GLOBAL batch =
+# reference per-GPU batch x its world size (4x128); the data mesh shards it
+# across however many chips are present.
 set -euo pipefail
 DATA_PATH=${DATA_PATH:-./dataset}
 TEXT_PATH=${TEXT_PATH:-./information/eb_nerd_512-info.parquet}
@@ -12,27 +14,35 @@ python -m mhrec_tpu.run \
   --dataset eb_nerd_512 \
   --text_path "$TEXT_PATH" \
   --MAX_ITEM_LIST_LENGTH 50 \
-  --min_seq_len 100 \
-  --train_batch_size 128 \
   --optim_args.learning_rate 1e-4 \
-  --num_negatives 8192 \
-  --total_iters 30000 \
-  --eval_interval 3000 \
   --loss prior \
+  --num_negatives 8192 \
+  --accumulate_grad 1 \
+  --train_batch_size 512 \
+  --gradient_checkpointing True \
+  --text_keys '["title","tag","subtitle","topics"]' \
+  --suppress_history False \
   --medusa_num_layers 1 \
   --num_segment_head 1 \
   --num_prior_head 7 \
   --head_interaction multiplicative \
   --split_mode combine \
+  --use_image False \
   --pred_len 8 \
   --eval_pred_len 8 \
+  --medusa_lambda 0.99 \
+  --total_iters 30000 \
+  --eval_interval 3000 \
   --eval_num_cats 7 \
-  --tag_version v16 \
-  --cluster_as_tag True \
   --neg_sample_by_cat True \
   --weighted_prior_loss True \
-  --segment_embed True \
+  --log_detailed_results False \
+  --tag_version v16 \
+  --min_seq_len 100 \
   --prior_given_at_test False \
   --given_prior_len 8 \
   --outlier_user_metrics category \
-  --gradient_checkpointing True
+  --segment_embed True \
+  --cluster_as_tag True \
+  --eval_by_cat False \
+  "$@"

@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
-# HSTU base (no priors) on Pixel8M — single-host TPU run.
-# Mirrors reference reproduce/HSTU-Pixel8M-base.slurm:8-64 run shape:
-# size4 (1024d/16L/16h), seq 50, bs 64/chip, lr 1e-4, 8192 negatives,
-# 30k iters, eval every 3k, eval_pred_len 8, 8 categories (tag v2).
+# HSTU baseline on Pixel8M (single-head NCE).
+# Faithful override set from reference reproduce/HSTU-Pixel8M-base.slurm:25-64 (workload flags only; SLURM/
+# infra flags dropped). train_batch_size here is the GLOBAL batch =
+# reference per-GPU batch x its world size (8x64); the data mesh shards it
+# across however many chips are present.
 set -euo pipefail
 DATA_PATH=${DATA_PATH:-./dataset}
 TEXT_PATH=${TEXT_PATH:-./information/Pixel8M-info.parquet}
@@ -13,13 +14,28 @@ python -m mhrec_tpu.run \
   --dataset Pixel8M \
   --text_path "$TEXT_PATH" \
   --MAX_ITEM_LIST_LENGTH 50 \
-  --train_batch_size 64 \
   --optim_args.learning_rate 1e-4 \
+  --loss nce \
   --num_negatives 8192 \
+  --accumulate_grad 1 \
+  --train_batch_size 512 \
+  --eval_batch_size 256 \
+  --gradient_checkpointing True \
+  --medusa_num_layers 0 \
+  --num_segment_head 1 \
+  --num_prior_head 1 \
+  --head_interaction multiplicative \
+  --split_mode combine \
+  --use_image False \
+  --pred_len 1 \
+  --eval_pred_len 8 \
+  --medusa_lambda 0.99 \
   --total_iters 30000 \
   --eval_interval 3000 \
-  --eval_pred_len 8 \
-  --pred_len 8 \
   --eval_num_cats 8 \
+  --log_detailed_results True \
   --tag_version v2 \
-  --loss nce
+  --min_seq_len 50 \
+  --outlier_user_metrics category \
+  --save_for_eval True \
+  "$@"

@@ -1,7 +1,9 @@
 #!/usr/bin/env bash
-# HSTU single-head NCE baseline on MerRec-2000 (reference
-# reproduce/HSTU-merrec-base.slurm: size4, seq 400, lr 1e-3, 4096 negatives,
-# eval_pred_len 1, fixed temperature, event-outlier split).
+# HSTU baseline on MerRec-2000 (seq 400, event categories).
+# Faithful override set from reference reproduce/HSTU-merrec-base.slurm (workload flags only; SLURM/
+# infra flags dropped). train_batch_size here is the GLOBAL batch =
+# reference per-GPU batch x its world size (8x64); the data mesh shards it
+# across however many chips are present.
 set -euo pipefail
 DATA_PATH=${DATA_PATH:-./dataset}
 TEXT_PATH=${TEXT_PATH:-./information/merrec_2000-info.parquet}
@@ -12,24 +14,31 @@ python -m mhrec_tpu.run \
   --dataset merrec_2000 \
   --text_path "$TEXT_PATH" \
   --MAX_ITEM_LIST_LENGTH 400 \
-  --min_seq_len 400 \
-  --train_batch_size 64 \
-  --eval_batch_size 256 \
   --optim_args.learning_rate 1e-3 \
-  --num_negatives 4096 \
-  --total_iters 30000 \
-  --eval_interval 3000 \
   --loss nce \
+  --num_negatives 4096 \
+  --accumulate_grad 1 \
+  --train_batch_size 512 \
+  --eval_batch_size 256 \
+  --gradient_checkpointing True \
+  --text_keys '["category_name","brand_name"]' \
+  --suppress_history False \
   --fix_temp True \
   --medusa_num_layers 0 \
   --num_segment_head 1 \
   --num_prior_head 1 \
+  --head_interaction multiplicative \
+  --split_mode combine \
   --pred_len 1 \
   --eval_pred_len 1 \
+  --medusa_lambda 0.99 \
+  --total_iters 30000 \
+  --eval_interval 3000 \
   --eval_num_cats 6 \
+  --neg_sample_by_cat False \
+  --log_detailed_results True \
+  --min_seq_len 400 \
   --outlier_user_metrics event \
   --sample_last_only False \
   --train_test_gap 0 \
-  --timestamp_required True \
-  --log_detailed_results True \
-  --gradient_checkpointing True
+  "$@"
