@@ -215,8 +215,10 @@ def _prefetch_iterator(it: Iterator, depth: int) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
             q.put(stop)
+        except BaseException as exc:  # propagate into the consumer — a
+            # swallowed producer error would silently truncate the stream
+            q.put((stop, exc))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -226,6 +228,8 @@ def _prefetch_iterator(it: Iterator, depth: int) -> Iterator:
             item = q.get()
             if item is stop:
                 return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+                raise item[1]
             yield item
 
     return drain()

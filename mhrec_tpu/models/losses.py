@@ -225,9 +225,14 @@ def _banded_nce(
         # lse_neg then reads shift−69, i.e. "negatives negligible", and the
         # sigmoid upstream of it is 0 — no -inf·0 NaN in the backward pass
         lse_neg[h] = shift[:, :, None] + jnp.log(jnp.maximum(kept_b, 1e-30))
-        # positive logits for every offset via the same band trick
-        pos_full = jnp.einsum("bld,bjd->blj", heads_norm[:, h], tgtJ)
-        pos_band[h] = jnp.take_along_axis(pos_full, band[None], axis=2)
+        # positive logits: P shifted elementwise dots — O(B·L·P·D), not the
+        # [B, L, J] rectangle (which would be L/P× the flops for one band)
+        out_h32 = heads_norm[:, h]
+        pos_band[h] = jnp.stack(
+            [jnp.einsum("bld,bld->bl", out_h32, tgtJ[:, p : p + L])
+             for p in range(P)],
+            axis=-1,
+        )  # [B, L, P]
         raw_cache[h] = raw
 
     mask_full = base_mask if extra_mask is None else (base_mask & extra_mask)

@@ -36,6 +36,12 @@ def compute_multihead_losses(
 ) -> Dict[str, jnp.ndarray]:
     L, P = model.max_seq_length, model.pred_len
     head_embs = model.compute_heads(output_embs)  # [B, H, L, D]
+    from mhrec_tpu.models.layers import cosine_normalize
+
+    # normalize once for every NCE call below (base + per-category prior) —
+    # under additive interaction both blocks run over the same tensors
+    heads_n = cosine_normalize(head_embs.astype(jnp.float32))
+    tgts_n = cosine_normalize(pos_items_embs.astype(jnp.float32))
 
     base_mask = jnp.stack(
         [user_mask[:, :L] & user_mask[:, p + 1 : p + 1 + L] for p in range(P)],
@@ -53,8 +59,9 @@ def compute_multihead_losses(
     if run_nce:
         head_for_pred = np.arange(P) // model.seg_len
         loss_nce, per_pred, logs = multi_horizon_nce(
-            head_embs=head_embs,
-            target_embs=pos_items_embs,
+            head_embs=heads_n,
+            target_embs=tgts_n,
+            inputs_normalized=True,
             neg_embs_norm=neg_norm_fn(-1),
             base_mask=base_mask,
             head_for_pred=head_for_pred,
@@ -72,13 +79,6 @@ def compute_multihead_losses(
                 model_out[f"seg_{s}_loss"] = jax.lax.stop_gradient(seg[s])
 
     if run_prior:
-        from mhrec_tpu.models.layers import cosine_normalize
-
-        # hoist the L2 normalization out of the per-category NCE calls —
-        # with num_prior_head categories the [B, H, L, D] head tensor would
-        # otherwise be re-normalized once per category
-        heads_n = cosine_normalize(head_embs.astype(jnp.float32))
-        tgts_n = cosine_normalize(pos_items_embs.astype(jnp.float32))
         tags = tag_categories.astype(bool)
         seg_len = P if model.head_interaction == "additive" else model.seg_len
         segment_for_pred = np.arange(P) // seg_len

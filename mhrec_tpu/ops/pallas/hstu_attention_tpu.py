@@ -104,7 +104,7 @@ def _fwd(q, k, v, nonpad, n_real, interpret):
     BH, L, D = q.shape
     Dv = v.shape[-1]
     L_pad = _round_up(L, 128)
-    tq = min(L_pad, 256)
+    tq = 256 if L_pad % 256 == 0 else 128  # must divide L_pad (grid floor-divides)
     qp = _pad_to(q, L_pad, 1)
     kp = _pad_to(k, L_pad, 1)
     vp = _pad_to(v, L_pad, 1)
@@ -270,7 +270,7 @@ def _fwd_v2(q, k, v, nonpad, n_real, interpret):
     B, H, L, D = q.shape
     Dv = v.shape[-1]
     L_pad = _round_up(L, 128)
-    tq = min(L_pad, 256)
+    tq = 256 if L_pad % 256 == 0 else 128  # must divide L_pad (grid floor-divides)
     hc = _pick_hc(H)
     qp = _pad_to(q, L_pad, 2)
     kp = _pad_to(k, L_pad, 2)

@@ -154,3 +154,24 @@ def test_ablation_random_and_all_tags(synth_dir):
         (d.int_category_to_item_id[i] == d2.int_category_to_item_id[i]).all()
         for i in range(4)
     )
+
+
+def test_prefetch_iterator_propagates_producer_errors():
+    """A crash in the producer must surface in the consumer, not silently
+    truncate the stream (a truncated corpus pass would yield a short item
+    table and plausible-but-wrong metrics)."""
+    from mhrec_tpu.data.trainset import _prefetch_iterator
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    it = _prefetch_iterator(boom(), depth=2)
+    import pytest as _pytest
+
+    got = []
+    with _pytest.raises(RuntimeError, match="producer died"):
+        for x in it:
+            got.append(x)
+    assert got == [1, 2]

@@ -49,6 +49,7 @@ def main():
 
     packed = "--dense" not in sys.argv
     steps = int(sys.argv[sys.argv.index("--steps") + 1]) if "--steps" in sys.argv else 20
+    steps = max(steps, 10)  # timing is marginal over a 5-step baseline
     remat = sys.argv[sys.argv.index("--remat") + 1] if "--remat" in sys.argv else "full"
 
     tmp = tempfile.mkdtemp(prefix="mhrec_bench_hllm_")
