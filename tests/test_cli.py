@@ -45,3 +45,30 @@ def test_run_cli_end_to_end(synth_dir, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "recall@10" in (proc.stdout + proc.stderr)
+
+
+def test_reproduce_script_flags_are_known_keys():
+    """Every --flag in reproduce/*.sh must be a config key the framework
+    reads (in source via config[...] / config.get, or defined in a YAML) —
+    guards the scripts against drifting from the config surface."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    source = ""
+    for p in (repo / "mhrec_tpu").rglob("*.py"):
+        source += p.read_text()
+    for p in (repo / "mhrec_tpu" / "config" / "yamls").rglob("*.yaml"):
+        source += p.read_text()
+
+    cli_only = {"config_file", "data_path", "text_path", "dataset"}
+    missing = {}
+    for script in sorted((repo / "reproduce").glob("*.sh")):
+        flags = re.findall(r"--([A-Za-z_][A-Za-z0-9_.]*)", script.read_text())
+        for f in flags:
+            key = f.split(".", 1)[0]  # dotted keys configure nested dicts
+            if key in cli_only:
+                continue
+            if key not in source:
+                missing.setdefault(script.name, []).append(f)
+    assert not missing, f"unknown flags in reproduce scripts: {missing}"
