@@ -60,10 +60,16 @@ def build_optimizer(config, schedule_factory, total_iters: int):
     lr_mult_prefix = list(config.get("lr_mult_prefix", []) or [])
     lr_mult_rate = config.get("lr_mult_rate", None)
 
+    # first-moment storage dtype (beyond reference): `adam_mu_dtype:
+    # bfloat16` halves the m-buffer's HBM footprint and per-step traffic
+    # (the update math still runs fp32; optax casts on read/write). The
+    # second moment stays fp32 — its sqrt sits directly in the update scale.
+    mu_dtype = config.get("adam_mu_dtype") or None
+
     def adamw(lr, weight_decay):
         return optax.adamw(
             schedule_factory(lr), b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=weight_decay,
+            weight_decay=weight_decay, mu_dtype=mu_dtype,
         )
 
     def make(params):

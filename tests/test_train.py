@@ -172,6 +172,40 @@ def test_clip_grad_norm(synth_dir, tmp_path_factory):
     assert max(jax.tree.leaves(deltas)) < 1e-3
 
 
+def test_adam_mu_dtype_bf16(synth_dir, tmp_path_factory):
+    """adam_mu_dtype stores the Adam first moment in bfloat16 (half the
+    m-buffer HBM footprint/traffic); update math stays fp32 and training
+    still advances the params."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_config(
+        synth_dir, total_iters=2, adam_mu_dtype="bfloat16",
+        sparse_item_adam=False,
+        checkpoint_dir=str(tmp_path_factory.mktemp("mu16")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    mu_leaves = [
+        x for x in jax.tree.leaves(t.state.opt_state)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+    ]
+    assert mu_leaves, "no bf16 moment buffers found in the optimizer state"
+    p0 = jax.tree.map(lambda x: np.asarray(x), t.state.params)
+    b = next(iter(train.epoch_batches(0)))
+    t.state, out = t._jit_train_step(
+        t.state, {k: jnp.asarray(v) for k, v in b.items()}
+    )
+    deltas = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(b, np.float32) - a))),
+        p0, jax.tree.map(lambda x: np.asarray(x, np.float32), t.state.params),
+    )
+    assert max(jax.tree.leaves(deltas)) > 0.0
+    assert np.isfinite(float(out["loss"]))
+
+
 def test_user_cluster_prior_end_to_end(tmp_path_factory):
     """category_by='user': user-cluster prior heads with oracle priors at
     test (reference trainer.py:104-105 constraints; user one-hot tags from

@@ -5,7 +5,10 @@ horizons, optimizer. Honest timing via checksum-forced sync (bench.py).
 """
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
