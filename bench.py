@@ -57,6 +57,8 @@ def main():
             # dense moments traffic over the corpus-scale table would
             # otherwise dominate the step
             sparse_item_adam=os.environ.get("BENCH_DENSE_ADAM") is None,
+            # one-off experiments: BENCH_EXTRA_JSON='{"adam_mu_dtype": "bfloat16"}'
+            **json.loads(os.environ.get("BENCH_EXTRA_JSON", "{}")),
         ),
     ).finalize()
 
