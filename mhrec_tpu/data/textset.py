@@ -83,12 +83,14 @@ class ItemTextCache:
     """
 
     def __init__(self, dataload, tokenizer, text_keys, item_prompt: str,
-                 max_text_length: int, image_prefix: Optional[np.ndarray] = None):
+                 max_text_length: int, image_prefix: Optional[np.ndarray] = None,
+                 n_emb: int = 1):
         self.dataload = dataload
         self.tokenizer = tokenizer
         self.text_keys = list(text_keys or ["title", "tag", "description"])
         self.item_prompt = item_prompt or ""
         self.max_text_length = max_text_length
+        self.n_emb = max(int(n_emb), 1)  # columns reserved for emb slots
         self.image_prefix = image_prefix
         if image_prefix is not None:
             assert len(image_prefix) < max_text_length, (
@@ -121,10 +123,10 @@ class ItemTextCache:
         return arr
 
     def batch(self, item_ids: np.ndarray):
-        """→ (tokens [N, T+1] with a trailing emb slot, lens [N])."""
+        """→ (tokens [N, T+n_emb] with trailing emb slot(s), lens [N])."""
         T = self.max_text_length
         N = len(item_ids)
-        out = np.zeros((N, T + 1), dtype=np.int32)
+        out = np.zeros((N, T + self.n_emb), dtype=np.int32)
         lens = np.empty(N, dtype=np.int32)
         for i, iid in enumerate(item_ids):
             ids = self.tokens(int(iid))
@@ -183,9 +185,10 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         )
         if self.image_store is not None and self.packed_item_tower:
             raise ValueError("use_image is incompatible with packed_item_tower")
+        self.n_emb = max(int(config.get("item_emb_token_n", 1) or 0), 1)
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
-            self.max_text_length, image_prefix=image_prefix,
+            self.max_text_length, image_prefix=image_prefix, n_emb=self.n_emb,
         )
 
     def make_batch(self, rng, loc_idx):
@@ -220,7 +223,8 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
 
             all_tokens = np.concatenate([pos_tokens, neg_tokens], axis=0)
             all_lens = np.concatenate([pos_lens, neg_lens])
-            batch.update(pack_items(all_tokens, all_lens, bucket=self.pack_bucket))
+            batch.update(pack_items(all_tokens, all_lens, bucket=self.pack_bucket,
+                                    n_emb=self.n_emb))
             batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
         else:
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
@@ -248,9 +252,10 @@ class BatchTextBatcher:
         self.image_store, image_prefix = _setup_image_store(
             config, dataload, tokenizer
         )
+        self.n_emb = max(int(config.get("item_emb_token_n", 1) or 0), 1)
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
-            self.max_text_length, image_prefix=image_prefix,
+            self.max_text_length, image_prefix=image_prefix, n_emb=self.n_emb,
         )
         self.batch_size = batch_size or (
             config["MAX_ITEM_LIST_LENGTH"] * config["train_batch_size"]
@@ -280,7 +285,8 @@ class BatchTextBatcher:
             if self.packed:
                 from mhrec_tpu.models.llm.packed import pack_items
 
-                out.update(pack_items(tokens, lens, bucket=self.pack_bucket))
+                out.update(pack_items(tokens, lens, bucket=self.pack_bucket,
+                                      n_emb=self.n_emb))
             else:
                 out["tokens"] = tokens
                 out["lens"] = lens

@@ -291,7 +291,10 @@ class HLLM(nn.Module):
         col = jnp.arange(T)[None, :]
         extra = self._image_kwargs(tokens, pixel_patches)
         if self.item_emb_token_n > 0 and not self.dummy_llm:
-            attn_mask = (col <= lens[:, None]).astype(jnp.int32)  # include slot
+            n_emb = self.item_emb_token_n
+            # include the n trailing emb slots; the embedding is read from
+            # the LAST slot (which attends to the text and all earlier slots)
+            attn_mask = (col < lens[:, None] + n_emb).astype(jnp.int32)
             hidden = self.item_llm(
                 input_ids=tokens,
                 attention_mask=attn_mask,
@@ -299,7 +302,8 @@ class HLLM(nn.Module):
                 emb_pos=lens,
                 **extra,
             )
-            emb = jnp.take_along_axis(hidden, lens[:, None, None], axis=1).squeeze(1)
+            last = lens + (n_emb - 1)
+            emb = jnp.take_along_axis(hidden, last[:, None, None], axis=1).squeeze(1)
         else:  # mean pooling over real tokens
             attn_mask = (col < lens[:, None]).astype(jnp.int32)
             hidden = self.item_llm(input_ids=tokens, attention_mask=attn_mask,
@@ -315,7 +319,8 @@ class HLLM(nn.Module):
         (TPU equivalent of the reference's rm-pad flash-attn path).
 
         packed_tokens/segment_ids/positions: [S]; emb_slots: [N] flat index
-        of each item's trailing emb slot. → [N, D_item].
+        of each item's FIRST trailing emb slot (of ``item_emb_token_n``).
+        → [N, D_item] read from each item's last slot.
         """
         assert self.item_emb_token_n > 0, "packed mode uses the emb-token slot"
         hidden = self.item_llm(
@@ -325,7 +330,7 @@ class HLLM(nn.Module):
             emb_tokens=self.item_emb_tokens,
             emb_pos=emb_slots,
         )[0]  # [S, D]
-        return hidden[emb_slots].astype(jnp.float32)
+        return hidden[emb_slots + (self.item_emb_token_n - 1)].astype(jnp.float32)
 
     def compute_item_chunk(self, tokens, lens, pixel_patches=None):
         """Corpus-embedding pass chunk (reference compute_item)."""

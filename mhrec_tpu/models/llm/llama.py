@@ -221,17 +221,22 @@ class LlamaBackbone(nn.Module):
                 image_embeds.astype(inputs_embeds.dtype)
             )
         if emb_tokens is not None and emb_pos is not None:
-            # scatter the learnable item-embedding token into each row's slot
-            # (reference modeling_llama.py:1220-1228); in packed mode emb_pos
-            # lists MANY slots within the single flat row
+            # scatter the learnable item-embedding token(s) into each row's
+            # trailing slot(s): emb_tokens [1, n, D], emb_pos [B or N] = FIRST
+            # slot index (reference modeling_llama.py:1220-1228; the reference
+            # model itself raises for n > 1, hllm.py:87-88 — here slot i gets
+            # token i, a strict superset). In packed mode emb_pos lists MANY
+            # first-slots within the single flat row.
             T = inputs_embeds.shape[1]
-            onehot = jax.nn.one_hot(emb_pos, T, dtype=inputs_embeds.dtype)
-            if onehot.shape[0] != inputs_embeds.shape[0]:
-                onehot = onehot.sum(axis=0, keepdims=True)
-            inputs_embeds = (
-                inputs_embeds * (1.0 - onehot[..., None])
-                + onehot[..., None] * emb_tokens.reshape(1, 1, -1)
-            )
+            n_emb = emb_tokens.shape[1]
+            for i in range(n_emb):
+                onehot = jax.nn.one_hot(emb_pos + i, T, dtype=inputs_embeds.dtype)
+                if onehot.shape[0] != inputs_embeds.shape[0]:
+                    onehot = onehot.sum(axis=0, keepdims=True)
+                inputs_embeds = (
+                    inputs_embeds * (1.0 - onehot[..., None])
+                    + onehot[..., None] * emb_tokens[0, i].reshape(1, 1, -1)
+                )
         x = inputs_embeds.astype(self.dtype)
         B, T, _ = x.shape
         if segment_ids is not None:

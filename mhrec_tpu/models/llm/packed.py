@@ -76,17 +76,18 @@ def packed_attention(q, k, v, segment_ids, impl: str = "auto",
     return packed_attention_dense(q, k, v, segment_ids)
 
 
-def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048):
-    """Host-side packing: padded [N, T] token rows (+1 emb slot per item)
-    → flat stream.
+def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048,
+               n_emb: int = 1):
+    """Host-side packing: padded [N, T] token rows (+``n_emb`` emb slots per
+    item) → flat stream.
 
     Returns dict with packed_tokens [S], segment_ids [S] (1-based, 0 = pad),
     positions [S] (within-segment), emb_slots [N] (flat index of each item's
-    trailing emb-token slot). S is rounded up to a multiple of ``bucket`` to
-    bound recompilation.
+    FIRST trailing emb-token slot). S is rounded up to a multiple of
+    ``bucket`` to bound recompilation.
     """
     N = len(lens)
-    seg_lens = lens + 1  # +1 trailing emb slot
+    seg_lens = lens + n_emb  # trailing emb slots
     total = int(seg_lens.sum())
     S = ((total + bucket - 1) // bucket) * bucket
     packed = np.zeros(S, dtype=np.int32)
@@ -97,10 +98,10 @@ def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048):
     for i in range(N):
         n = int(lens[i])
         packed[off : off + n] = tokens[i, :n]
-        seg[off : off + n + 1] = i + 1
-        pos[off : off + n + 1] = np.arange(n + 1)
+        seg[off : off + n + n_emb] = i + 1
+        pos[off : off + n + n_emb] = np.arange(n + n_emb)
         emb_slots[i] = off + n
-        off += n + 1
+        off += n + n_emb
     return {
         "packed_tokens": packed,
         "packed_segment_ids": seg,

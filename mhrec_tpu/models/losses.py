@@ -173,10 +173,16 @@ def _banded_nce(
     matmul rather than P masked softmax sweeps.
 
     Tail behavior: ``shift`` is the max over ALL negatives (masked included),
-    so when every kept logit is ≳88 log-units (= ``scale · cosine-gap``)
-    below a masked false-negative's, the kept sum underflows and the token's
-    CE reads 0 — reachable only at ``logit_scale`` near its ln(100) clamp
-    with an adversarial gap; the per-offset impl remains exact there.
+    which may itself be a masked false negative sitting far above every kept
+    logit. The shift is therefore lowered by a constant headroom ``C``
+    (every kept term scales by ``e^C`` uniformly — bf16/fp32 relative
+    precision is exponent-invariant, so accuracy is unchanged), moving the
+    kept-sum underflow horizon from ~87 to ~87+C log-units below the masked
+    max; ``C`` is capped so the fp32 accumulation ``M·e^C`` cannot overflow.
+    With C=70 the horizon (157 log-units) exceeds the worst gap reachable at
+    the ln(100) ``logit_scale`` clamp short of a full ±1 cosine split. A
+    residual underflow would read the token's CE as 0; its rate is logged as
+    ``nce_underflow_rate`` when train-time top-k logging is on.
     """
     B, H, L, D = head_embs.shape
     P = base_mask.shape[1]
@@ -205,6 +211,11 @@ def _banded_nce(
     # band index: offset p looks at target column j = l + p
     band = jnp.arange(L)[:, None] + jnp.arange(P)[None, :]  # [L, P]
 
+    # underflow headroom (see docstring): M·e^C must stay below fp32 max
+    # (log(3.4e38) ≈ 88.7), with a 2-log-unit safety margin
+    M = neg_embs_norm.shape[0]
+    headroom = min(70.0, 86.7 - float(np.log(max(M, 1))))
+
     distinct = sorted(set(int(h) for h in head_for_pred))
     lse_neg = {}
     pos_band = {}
@@ -215,7 +226,7 @@ def _banded_nce(
             "bld,dm->blm", out_h, neg_T, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)                              # [B, L, M]
         scaled = raw.astype(jnp.float32) * scale
-        shift = jax.lax.stop_gradient(jnp.max(scaled, axis=-1))  # [B, L]
+        shift = jax.lax.stop_gradient(jnp.max(scaled, axis=-1)) - headroom  # [B, L]
         s = jnp.exp(scaled - shift[:, :, None]).astype(jnp.bfloat16)
         kept = jnp.einsum(
             "blm,bjm->blj", s, keep_ind, preferred_element_type=jnp.float32
@@ -225,6 +236,8 @@ def _banded_nce(
         # lse_neg then reads shift−69, i.e. "negatives negligible", and the
         # sigmoid upstream of it is 0 — no -inf·0 NaN in the backward pass
         lse_neg[h] = shift[:, :, None] + jnp.log(jnp.maximum(kept_b, 1e-30))
+        if compute_topk_log and h == int(head_for_pred[0]):
+            _kept_b_h0 = kept_b
         # positive logits, shape-adaptive (measured on v5e):
         # * short L (L ≤ 7P): ONE [B, L, J] MXU matmul + band gather beats P
         #   elementwise passes (2220 vs 2158 ex/s at the size4 bench shape);
@@ -263,6 +276,12 @@ def _banded_nce(
         cnt0 = jnp.clip(m0.sum(), 1.0, None)
         n_unmasked = jnp.sum(k0, axis=-1).astype(jnp.float32) + 1.0
         log_dict["nce_samples"] = jnp.sum(n_unmasked * m0) / cnt0
+        # kept partition sum underflowed (CE reads 0) despite surviving
+        # negatives — the adversarial tail documented above; should be 0.0
+        under = jax.lax.stop_gradient(
+            (_kept_b_h0[:, :, 0] <= 0.0) & (n_unmasked > 1.0)
+        ).astype(jnp.float32)
+        log_dict["nce_underflow_rate"] = jnp.sum(under * m0) / cnt0
         pos0 = jax.lax.stop_gradient(pos_all[:, 0])
         beaten = jnp.sum(
             (raw0 > pos0[:, :, None]) & k0, axis=-1

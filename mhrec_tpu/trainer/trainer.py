@@ -287,15 +287,19 @@ class Trainer:
             ),
         }
         if str(c["model"]) == "HLLM" and not c.get("freeze_item_llm", False):
-            T = int(c.get("MAX_TEXT_LENGTH", 64)) + 1
+            n_emb = max(int(c.get("item_emb_token_n", 1) or 0), 1)
+            T = int(c.get("MAX_TEXT_LENGTH", 64)) + n_emb
             if c.get("packed_item_tower", False):
                 n_items = B * (L + P) + B * n_cats * K
                 bucket = int(c.get("pack_bucket", 2048))
-                S = ((n_items * 3 + bucket - 1) // bucket) * bucket
+                per_item = 2 + n_emb  # example rows: 2 tokens + emb slots
+                S = ((n_items * per_item + bucket - 1) // bucket) * bucket
                 batch["packed_tokens"] = jnp.ones((S,), jnp.int32)
                 batch["packed_segment_ids"] = jnp.ones((S,), jnp.int32)
                 batch["packed_positions"] = jnp.zeros((S,), jnp.int32)
-                batch["emb_slots"] = jnp.arange(n_items, dtype=jnp.int32) * 2 + 1
+                batch["emb_slots"] = (
+                    jnp.arange(n_items, dtype=jnp.int32) * per_item + 2
+                )
                 batch["n_pos_items"] = jnp.asarray(B * (L + P), jnp.int32)
             else:
                 batch["pos_tokens"] = jnp.ones((B * (L + P), T), jnp.int32)
@@ -749,7 +753,7 @@ class Trainer:
                 switch_correct_sum = sc if switch_correct_sum is None else switch_correct_sum + sc
             n_eval_samples += n_real
 
-        result_summary: Dict[str, Dict[str, float]] = {}
+        raw_sections: Dict[str, Dict[str, Any]] = {}
         # non-subgroup metrics divide by the GLOBAL eval-set size, matching the
         # reference (trainer.py:1038-1041: len(sampler.dataset), not reduced)
         num_total = float(len(eval_batcher))
@@ -759,14 +763,17 @@ class Trainer:
             # shared (tag-entropy) metrics only exist with category structure
             shared = self.evaluator.evaluate(shared_struct, pred_len=-1)
             if shared:
-                result_summary["shared"] = self._normalize_results(shared, num_total)
+                raw_sections["shared"] = shared
         self.collector.reset_all_tags()
 
         for p in self.metrics_pred_len_list:
             struct = self.collector.get_data_struct(p)
             res = self.evaluator.evaluate(struct, pred_len=p)
-            result_summary[f"pred_{p}"] = self._normalize_results(res, num_total)
+            raw_sections[f"pred_{p}"] = res
 
+        result_summary, switch_accs = self._normalize_all(
+            raw_sections, num_total, switch_correct_sum, n_eval_samples
+        )
         for section, metrics in result_summary.items():
             self.results_rows.append({"section": section, **metrics})
         if self.process_index == 0:
@@ -779,13 +786,8 @@ class Trainer:
                 )
             except Exception:
                 pass
-        if switch_correct_sum is not None and n_eval_samples > 0:
-            total_n = self._reduce_sum(float(n_eval_samples))
-            for c in range(len(switch_correct_sum)):
-                name = self.config["int_to_category"].get(c, str(c))
-                result_summary.setdefault("shared", {})[
-                    f"head_cat_{name}_acc"
-                ] = self._reduce_sum(float(switch_correct_sum[c])) / max(total_n, 1.0)
+        if switch_accs:
+            result_summary.setdefault("shared", {}).update(switch_accs)
         return result_summary
 
     def _log_scalars(self, metrics: Dict[str, Any], step: int, head: str):
@@ -797,30 +799,60 @@ class Trainer:
             for k, v in numeric.items():
                 self._tb.add_scalar(f"{head}/{k}", v, step)
 
-    def _normalize_results(self, result: Dict[str, Any], num_total: float):
-        """SUM-reduce scalars across hosts, divide by (reduced) sample counts
-        (reference trainer.py:1046-1123)."""
-        out = {}
+    def _normalize_all(self, sections, num_total: float,
+                       switch_correct_sum=None, n_eval_samples: int = 0):
+        """SUM-reduce every metric scalar across hosts in ONE collective,
+        then divide by (reduced) sample counts (reference trainer.py:1046-1123
+        all_reduces each scalar separately — dozens of blocking collectives
+        per eval on a pod; here the scalars ride a single allgather)."""
         dp = self.config["metric_decimal_place"] or 5
-        for k in sorted(result.keys()):
-            v = result[k]
-            if isinstance(v, tuple):
-                val, n = v
-                val = self._reduce_sum(float(val))
-                n = self._reduce_sum(float(n))
-                out[k] = round(val / max(1.0, n), dp)
+        flat: list = []
+        layout: list = []  # (section, key, is_tuple)
+        for sec, result in sections.items():
+            for k in sorted(result.keys()):
+                v = result[k]
+                if isinstance(v, tuple):
+                    layout.append((sec, k, True))
+                    flat += [float(v[0]), float(v[1])]
+                else:
+                    layout.append((sec, k, False))
+                    flat.append(float(v))
+        n_switch = 0
+        if switch_correct_sum is not None and n_eval_samples > 0:
+            n_switch = len(switch_correct_sum)
+            flat += [float(x) for x in switch_correct_sum]
+            flat.append(float(n_eval_samples))
+        reduced = self._reduce_sums(np.asarray(flat, np.float64))
+        out: Dict[str, Dict[str, float]] = {sec: {} for sec in sections}
+        i = 0
+        for sec, k, is_tuple in layout:
+            if is_tuple:
+                val, n = reduced[i], reduced[i + 1]
+                i += 2
+                out.setdefault(sec, {})[k] = round(val / max(1.0, n), dp)
             else:
-                val = self._reduce_sum(float(v))
-                out[k] = round(val / max(1.0, num_total), dp)
-        return out
+                out.setdefault(sec, {})[k] = round(
+                    reduced[i] / max(1.0, num_total), dp
+                )
+                i += 1
+        switch_accs: Dict[str, float] = {}
+        if n_switch:
+            total_n = reduced[i + n_switch]
+            for c in range(n_switch):
+                name = self.config["int_to_category"].get(c, str(c))
+                switch_accs[f"head_cat_{name}_acc"] = (
+                    reduced[i + c] / max(total_n, 1.0)
+                )
+        return out, switch_accs
 
-    def _reduce_sum(self, value: float) -> float:
-        if self.num_processes <= 1:
-            return value
+    def _reduce_sums(self, values: np.ndarray) -> np.ndarray:
+        """Cross-host SUM of a vector of scalars (one collective)."""
+        if self.num_processes <= 1 or values.size == 0:
+            return values
         from jax.experimental import multihost_utils
 
-        arr = multihost_utils.process_allgather(np.asarray([value]))
-        return float(np.sum(arr))
+        arr = multihost_utils.process_allgather(np.asarray(values, np.float64))
+        return np.sum(arr, axis=0)
 
     # ------------------------------------------------------------------
     def _use_host_item_table(self, needs_corpus: bool, need_full: bool) -> bool:

@@ -313,9 +313,13 @@ def test_packed_attention_matches_padded():
             np.testing.assert_allclose(out[idx, h], expected, rtol=1e-4, atol=1e-5)
 
 
-def test_hllm_packed_item_tower_matches_padded(synth_dir, tmp_path_factory, tmp_path):
+@pytest.mark.parametrize("n_emb", [1, 2])
+def test_hllm_packed_item_tower_matches_padded(synth_dir, tmp_path_factory,
+                                               tmp_path, n_emb):
     """encode_items (padded) and encode_items_packed produce the same item
-    embeddings for the same texts."""
+    embeddings for the same texts — incl. item_emb_token_n=2 (n trailing
+    learnable slots; the reference raises NotImplementedError there,
+    hllm.py:87-88 — this is a strict superset)."""
     ckpt_dir = str(tmp_path / "tiny_llama_pk")
     os.makedirs(ckpt_dir)
     _write_tiny_llama_ckpt(ckpt_dir)
@@ -323,6 +327,7 @@ def test_hllm_packed_item_tower_matches_padded(synth_dir, tmp_path_factory, tmp_
         synth_dir, tmp_path_factory,
         dummy_llm=False, item_pretrain_dir=ckpt_dir, user_pretrain_dir=ckpt_dir,
         packed_item_tower=True, pack_bucket=256, total_iters=1,
+        item_emb_token_n=n_emb,
     )
     data = InteractionData(cfg).build()
     train, _, _ = build_dataloader(cfg, data)

@@ -46,6 +46,11 @@ def _import_reference_hstu():
         m = types.ModuleType(name)
         for a, v in attrs.items():
             setattr(m, a, v)
+        # a valid ModuleSpec: later `importlib.util.find_spec(name)` calls
+        # (transformers probes deepspeed this way) raise ValueError on
+        # spec-less sys.modules entries, which poisoned every test imported
+        # after this one in the same process
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = m
     if REF not in sys.path:
         sys.path.insert(0, REF)
