@@ -37,10 +37,26 @@ class SeqEvalBatcher:
         self.phase = phase
         self.eval_pred_len = config["eval_pred_len"]
         self.max_len = config["MAX_ITEM_LIST_LENGTH_TEST"] or config["MAX_ITEM_LIST_LENGTH"]
-        self.batch_size = config["eval_batch_size"]
+        # eval_batch_size is GLOBAL like train_batch_size: each host builds
+        # global/num_hosts rows of its strided users per step
+        self.global_batch_size = config["eval_batch_size"]
+        if self.global_batch_size % num_hosts:
+            raise ValueError(
+                f"eval_batch_size {self.global_batch_size} must divide by "
+                f"num_hosts {num_hosts}"
+            )
+        self.batch_size = self.global_batch_size // num_hosts
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.user_num = dataload.user_num - 1  # excluding pad user
+        # static history-suppression buffer size: the B_local longest user
+        # sequences bound any batch's total history; one fixed size per run
+        # keeps every host on the SAME compiled program (SPMD lockstep) and
+        # kills the per-batch rebucketing recompiles
+        lens = np.diff(dataload.seq_offsets).astype(np.int64)
+        top = np.sort(lens)[::-1][: self.batch_size]
+        cap = int(top.sum()) if len(top) else 1
+        self.hist_bucket = 1 << max(int(cap - 1).bit_length(), 0) if cap > 1 else 1
         self.item_num = dataload.item_num
         self.return_tag_mask = config["eval_num_cats"] > 1
         self.category_by = config["category_by"]
@@ -57,8 +73,11 @@ class SeqEvalBatcher:
 
     @property
     def num_batches(self) -> int:
-        my_users = len(range(self.host_id, self.user_num, self.num_hosts))
-        return -(-my_users // self.batch_size)
+        """Identical on every host (SPMD lockstep): the batch count of the
+        host with the most strided users; hosts with fewer pad with empty
+        (sample_weight=False) batches."""
+        max_users = -(-self.user_num // self.num_hosts)
+        return -(-max_users // self.batch_size)
 
     # ------------------------------------------------------------------
     def _user_sample(self, uid: int):
@@ -115,7 +134,8 @@ class SeqEvalBatcher:
         d = self.dataload
         Lt, P, C = self.max_len, self.eval_pred_len, self.eval_num_cats
         my_uids = np.arange(1 + self.host_id, self.user_num + 1, self.num_hosts)
-        for s in range(0, len(my_uids), self.batch_size):
+        for b in range(self.num_batches):
+            s = b * self.batch_size
             uids = my_uids[s : s + self.batch_size]
             n_real = len(uids)
             if n_real < self.batch_size:  # pad to static shape with repeats
@@ -148,8 +168,18 @@ class SeqEvalBatcher:
                         for j, e in enumerate(tgt_ev):
                             target_tags[i, j, int(e)] = 1
                 outliers[i] = self._outlier_flag(int(uid), history, target)
-                hist_rows.append(np.full(len(history), i, dtype=np.int64))
-                hist_cols.append(history.astype(np.int64))
+                if i < n_real:  # pad repeats carry no history to suppress
+                    hist_rows.append(np.full(len(history), i, dtype=np.int64))
+                    hist_cols.append(history.astype(np.int64))
+            # fixed-size history buffers (col == -1 → no-op in the scorer's
+            # masked scatter): one static shape per run for jit/SPMD lockstep
+            hr = np.concatenate(hist_rows) if hist_rows else np.zeros(0, np.int64)
+            hc = np.concatenate(hist_cols) if hist_cols else np.zeros(0, np.int64)
+            assert len(hr) <= self.hist_bucket, (len(hr), self.hist_bucket)
+            hist_r = np.zeros(self.hist_bucket, np.int32)
+            hist_c = np.full(self.hist_bucket, -1, np.int32)
+            hist_r[: len(hr)] = hr
+            hist_c[: len(hc)] = hc
             yield {
                 "user_ids": uids.astype(np.int64),
                 "item_seq": item_seq,
@@ -157,6 +187,6 @@ class SeqEvalBatcher:
                 "target_tags": target_tags,
                 "outlier_users": outliers,
                 "sample_weight": np.arange(B) < n_real,
-                "history_row": np.concatenate(hist_rows) if hist_rows else np.zeros(0, np.int64),
-                "history_col": np.concatenate(hist_cols) if hist_cols else np.zeros(0, np.int64),
+                "history_row": hist_r,
+                "history_col": hist_c,
             }

@@ -51,17 +51,35 @@ class HashTokenizer:
 
 def build_tokenizer(pretrain_dir: Optional[str], vocab_size: int = 1024):
     if pretrain_dir:
+        import json as _json
+        import os as _os
+
+        model_vocab = None
+        cfg_path = _os.path.join(pretrain_dir, "config.json")
+        if _os.path.exists(cfg_path):
+            try:
+                with open(cfg_path) as fh:
+                    model_vocab = _json.load(fh).get("vocab_size")
+            except Exception:
+                pass
         try:
             from transformers import AutoTokenizer
 
-            return _HFTokenizerWrapper(
+            wrapper = _HFTokenizerWrapper(
                 AutoTokenizer.from_pretrained(
                     pretrain_dir, local_files_only=True, trust_remote_code=True
                 )
             )
+            if model_vocab and wrapper.vocab_size > model_vocab:
+                # tokenizer/model vocab mismatch (e.g. a weights-only test
+                # checkpoint resolving to a stock 32k tokenizer): its ids
+                # would index past the embedding table, which jnp.take fills
+                # with NaN — use the in-range hash tokenizer instead
+                return HashTokenizer(model_vocab)
+            return wrapper
         except Exception:
             pass
-    return HashTokenizer(vocab_size)
+    return HashTokenizer(model_vocab or vocab_size if pretrain_dir else vocab_size)
 
 
 class _HFTokenizerWrapper:
@@ -185,6 +203,15 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         )
         if self.image_store is not None and self.packed_item_tower:
             raise ValueError("use_image is incompatible with packed_item_tower")
+        if self.num_hosts > 1 and (self.packed_item_tower or self.dedup_items):
+            # both modes emit per-host arrays whose static shapes (pack
+            # buckets / dedup buckets) depend on per-host data — they cannot
+            # be concatenated into one coherent global batch yet; the dense
+            # per-occurrence tower is multi-host-safe
+            raise ValueError(
+                "packed_item_tower / dedup_items are single-process only; "
+                "use the dense item tower under multi-host"
+            )
         self.n_emb = max(int(config.get("item_emb_token_n", 1) or 0), 1)
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),

@@ -39,9 +39,18 @@ class SEQTrainBatcher:
         self.max_seq_length = config["MAX_ITEM_LIST_LENGTH"]
         self.pred_len = config["pred_len"]
         self.window_len = self.max_seq_length + self.pred_len
-        self.batch_size = config["train_batch_size"]
+        # train_batch_size is GLOBAL (docs/MIGRATION.md): each host builds
+        # global/num_hosts rows and the jit train step sees the assembled
+        # global batch (reference: per-GPU batch × world ranks)
+        self.global_batch_size = config["train_batch_size"]
         self.host_id = host_id
         self.num_hosts = num_hosts
+        if self.global_batch_size % num_hosts:
+            raise ValueError(
+                f"train_batch_size {self.global_batch_size} must divide by "
+                f"num_hosts {num_hosts}"
+            )
+        self.batch_size = self.global_batch_size // num_hosts  # per-host rows
 
         self.return_tag_mask = config["loss"] == "prior"
         self.category_by = config["category_by"]
@@ -55,7 +64,12 @@ class SEQTrainBatcher:
 
         num_neg = config["num_negatives"]
         if num_neg:
-            self.num_negatives = math.ceil(num_neg / world_size / self.batch_size)
+            # per-sample count so that the GLOBAL pool ≈ num_negatives
+            # (reference trainset.py:60 divides by world_size × per-GPU
+            # batch = the global batch; ours is global outright)
+            self.num_negatives = math.ceil(
+                num_neg / world_size / self.global_batch_size
+            )
         else:
             self.num_negatives = self.max_seq_length
 
@@ -177,6 +191,18 @@ class SEQTrainBatcher:
             batch["neg_items"] = np.searchsorted(uniq, batch["neg_items"]).astype(
                 np.int32
             )
+            if self.num_hosts > 1:
+                # multi-host: the global sub-table is the concat of per-host
+                # [U_cap] blocks; this host's local indices shift by its block
+                # offset — EXCEPT index 0 (the pad item), which must stay 0
+                # everywhere (`items != 0` pad checks, hstu.py:389). The same
+                # row may appear in several hosts' blocks; the trainer's
+                # global dedup (sparse_adam.dedup_touched_rows) sums their
+                # gradients before the nonlinear Adam update.
+                off = self.host_id * self.unique_cap
+                for key in ("items", "neg_items"):
+                    v = batch[key]
+                    batch[key] = np.where(v > 0, v + off, 0).astype(np.int32)
         return batch
 
     # ------------------------------------------------------------------
@@ -186,7 +212,9 @@ class SEQTrainBatcher:
         rng = np.random.default_rng(self.seed + epoch)
         perm = rng.permutation(self.length)
         shard = perm[self.host_id :: self.num_hosts]
-        n_batches = len(shard) // self.batch_size
+        # identical batch count on every host (SPMD lockstep): derive from
+        # the GLOBAL length, not this host's (possibly +1) shard length
+        n_batches = (self.length // self.num_hosts) // self.batch_size
         sample_rng = np.random.default_rng(
             (self.seed + epoch) * 1_000_003 + self.host_id
         )

@@ -575,7 +575,13 @@ def hllm_from_config(config, dataload) -> HLLM:
     i2c = config["int_to_category"] or {}
     eval_pred_len = config["eval_pred_len"]
     prior_given = bool(config.get("prior_given_at_test", False))
+    # compute dtype from the reference's `precision` key (bf16-mixed default;
+    # '32' / 'fp32' force full-precision towers — also the numerics knob the
+    # sharding-parity tests use)
+    prec = str(config.get("precision") or "bf16-mixed")
+    compute_dtype = jnp.float32 if "32" in prec and "bf16" not in prec else jnp.bfloat16
     return HLLM(
+        dtype=compute_dtype,
         item_config=item_cfg,
         user_config=user_cfg,
         max_seq_length=config["MAX_ITEM_LIST_LENGTH"],

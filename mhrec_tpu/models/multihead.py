@@ -230,7 +230,10 @@ def predict_switch_and_heads(model, last_hidden, target_tags):
         out["switch_pred"] = switch_pred
         if target_tags is not None:
             labels = target_tags.sum(axis=1) > 0
+            # per-ROW correctness [B, C]: the trainer sums its host's real
+            # (non-padding) rows — a pre-summed scalar would count padding
+            # repeats and, under multi-host, get SUM-reduced once per host
             out["switch_correct"] = (
-                (labels[:, :switch_range] == switch_pred).sum(axis=0).astype(jnp.float32)
-            )
+                labels[:, :switch_range] == switch_pred
+            ).astype(jnp.float32)
     return out

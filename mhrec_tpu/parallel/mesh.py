@@ -50,12 +50,70 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a host-global numpy batch onto the mesh, sharded on dim 0."""
+    """Place a batch onto the mesh, sharded on dim 0.
+
+    Single process: the batch is host-global; a plain ``device_put``.
+    Multi-process: each host passes its LOCAL rows (``global_dim0 =
+    local_dim0 × process_count``); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (host-local numpy fed straight
+    to a global NamedSharding is wrong in multi-controller JAX — it would
+    reinterpret the local rows as the whole global batch). Scalars and
+    0-d entries replicate (every host must pass the same value).
+    """
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding if getattr(x, "ndim", 0) > 0 else replicate(mesh)),
-        batch,
+    rep = replicate(mesh)
+    if jax.process_count() <= 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, sharding if getattr(x, "ndim", 0) > 0 else rep
+            ),
+            batch,
+        )
+    n_proc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.make_array_from_process_local_data(rep, x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, batch)
+
+
+def put_replicated(mesh: Mesh, x):
+    """Replicate identical host data onto the (possibly multi-host) mesh."""
+    if jax.process_count() <= 1:
+        return jax.device_put(x, replicate(mesh))
+    return jax.make_array_from_process_local_data(replicate(mesh), np.asarray(x))
+
+
+def shard_identical(mesh: Mesh, x, axis_name: str = "data"):
+    """Shard dim 0 of data that every host holds IDENTICALLY (e.g. a corpus
+    chunk each host built for itself): each host contributes its slice, so
+    the global array has the host-global shape — unlike ``shard_batch``,
+    which concatenates per-host rows."""
+    sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() <= 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    n, pid = jax.process_count(), jax.process_index()
+    B = x.shape[0]
+    assert B % n == 0, (B, n)
+    loc = x[pid * (B // n) : (pid + 1) * (B // n)]
+    return jax.make_array_from_process_local_data(sharding, loc, x.shape)
+
+
+def local_shard(arr) -> np.ndarray:
+    """This host's contiguous dim-0 shard of a ``P('data')``-sharded global
+    array (row order = process order), as numpy. Fully-replicated and
+    single-process arrays convert directly."""
+    if getattr(arr, "is_fully_replicated", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
     )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def zero_sharded_opt_state(mesh: Mesh, opt_state, axis_name: str = "data"):

@@ -26,7 +26,8 @@ from mhrec_tpu.utils.misc import init_seed
 logger = logging.getLogger(__name__)
 
 
-def run_loop(config_files, extra_args, multihost: bool = False):
+def run_loop(config_files, extra_args, multihost: bool = False,
+             coordinator_address=None, num_processes=None, process_id=None):
     import os
 
     import jax
@@ -37,7 +38,14 @@ def run_loop(config_files, extra_args, multihost: bool = False):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     if multihost:
-        jax.distributed.initialize()
+        # TPU pods auto-discover peers; explicit args drive CPU/GPU clusters
+        # and the multi-process CPU tests (reference: torchrun rendezvous,
+        # run.py:191)
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
 
     config = Config(config_file_list=config_files, cli_args=extra_args).finalize()
     init_seed(
@@ -51,6 +59,13 @@ def run_loop(config_files, extra_args, multihost: bool = False):
     data = InteractionData(config).build()
     num_hosts = jax.process_count()
     host_id = jax.process_index()
+    n_dev = len(jax.devices())
+    for key in ("train_batch_size", "eval_batch_size"):
+        if config[key] and config[key] % n_dev:
+            raise ValueError(
+                f"{key}={config[key]} is GLOBAL and must divide by the "
+                f"total device count {n_dev} for the data-parallel sharding"
+            )
     train_loader, valid_loader, test_loader = build_dataloader(
         config, data, world_size=1, host_id=host_id, num_hosts=num_hosts
     )
@@ -58,13 +73,38 @@ def run_loop(config_files, extra_args, multihost: bool = False):
     trainer = Trainer(config, data)
     trainer.setup_model()
 
+    fit_stats = None
     if config.get("val_only", False):
         result = trainer.evaluate(test_loader, load_best_model=True)
     else:
-        trainer.fit(train_loader, valid_loader)
+        fit_stats = trainer.fit(train_loader, valid_loader)
         result = trainer.evaluate(test_loader, load_best_model=True)
     for section, metrics in result.items():
         logger.info("%s: %s", section, metrics)
+    if config.get("result_json_path"):
+        # machine-readable run summary (multi-process parity tests compare
+        # these across launch modes): final metrics, last train loss, and a
+        # parameter checksum
+        import json
+
+        import jax.numpy as jnp
+
+        # computed as a global jit program: a replicated scalar, identical on
+        # every host regardless of how XLA sharded individual leaves
+        checksum = float(jax.jit(
+            lambda p: sum(jnp.abs(x).astype(jnp.float32).sum()
+                          for x in jax.tree.leaves(p))
+        )(trainer.state.params))
+        payload = {
+            "process_index": jax.process_index(),
+            "result": {k: {m: float(v) for m, v in d.items()}
+                       for k, d in result.items()},
+            "final_loss": float(fit_stats.get("loss", float("nan"))) if fit_stats else None,
+            "param_checksum": checksum,
+        }
+        path = f"{config['result_json_path']}.{jax.process_index()}.json"
+        with open(path, "w") as f:
+            json.dump(payload, f)
     return result
 
 
@@ -73,10 +113,17 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_file", nargs="+", required=True)
     parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args, extra = parser.parse_known_args(argv)
     if extra and extra[0] == "--":
         extra = extra[1:]
-    return run_loop(args.config_file, extra, multihost=args.multihost)
+    return run_loop(
+        args.config_file, extra, multihost=args.multihost,
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes, process_id=args.process_id,
+    )
 
 
 if __name__ == "__main__":

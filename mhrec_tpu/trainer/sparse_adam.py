@@ -62,3 +62,34 @@ def sparse_adamw_row_update(
     m = m.at[ids].add((m_new - m_old) * colmask)
     v = v.at[ids].add((v_new - v_old) * colmask)
     return table, m, v
+
+
+def dedup_touched_rows(ids, mask, grad_rows):
+    """Merge duplicate row ids (one entry per id, gradients summed).
+
+    Multi-host: each host contributes its own unique-id block, and the same
+    table row can appear in several blocks. Applying the nonlinear Adam row
+    update once per block would double-step shared rows; the correct update
+    consumes the SUMMED gradient once (exactly what a dense optimizer sees
+    after the cross-host grad psum). Sort the concatenated ids, segment-sum
+    gradients of equal ids into the group's leading slot, and return
+    (rep_ids, rep_mask, summed_grads) shaped like the inputs — trailing
+    (duplicate) slots read id 0 / mask 0 and no-op in the scatter update.
+
+    Pure static shapes; safe under jit/GSPMD.
+    """
+    import jax.numpy as _jnp
+
+    G = ids.shape[0]
+    order = _jnp.argsort(ids)
+    ids_s = ids[order]
+    m_s = mask[order]
+    g_s = grad_rows[order] * m_s[:, None]
+    first = _jnp.concatenate(
+        [_jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
+    )
+    seg = _jnp.cumsum(first) - 1                      # group index per entry
+    g_sum = _jnp.zeros_like(g_s).at[seg].add(g_s)
+    m_rep = _jnp.zeros_like(m_s).at[seg].max(m_s)
+    id_rep = _jnp.zeros_like(ids_s).at[seg].max(ids_s)
+    return id_rep, m_rep, g_sum

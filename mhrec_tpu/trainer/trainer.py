@@ -38,7 +38,10 @@ import optax
 
 from mhrec_tpu.evaluator import Collector, Evaluator
 from mhrec_tpu.models.factory import build_model
-from mhrec_tpu.parallel.mesh import make_mesh, replicate, shard_batch, zero_sharded_opt_state
+from mhrec_tpu.parallel.mesh import (
+    local_shard, make_mesh, put_replicated, replicate, shard_batch,
+    zero_sharded_opt_state,
+)
 from mhrec_tpu.trainer.lr_schedule import build_schedule
 from mhrec_tpu.utils.misc import calculate_valid_score, early_stopping
 from mhrec_tpu.utils.observability import get_tensorboard, save_eval_chunk
@@ -96,11 +99,14 @@ class Trainer:
                 raise ValueError(
                     "sparse_item_adam is incompatible with accumulate_grad > 1"
                 )
-            if jax.process_count() > 1:
-                # per-host unique-id lists can overlap, which would apply the
-                # nonlinear Adam row update twice for the same row; exact
-                # semantics need a global dedup (future work)
-                raise ValueError("sparse_item_adam requires a single process")
+        # multi-host: per-host unique-id blocks can overlap — dedup + sum
+        # gradients inside the jit before the nonlinear Adam row update
+        # (sparse_adam.dedup_touched_rows). 'auto' = on iff multi-process;
+        # force-enable for single-process tests of the multi-host math.
+        sd = config.get("sparse_adam_global_dedup")
+        self.sparse_dedup = (
+            jax.process_count() > 1 if sd in (None, "auto") else bool(sd)
+        )
         self.suppress_history = config.get("suppress_history", True)
         self.item_chunk_size = int(config.get("eval_item_chunk_size", 131072))
 
@@ -173,11 +179,17 @@ class Trainer:
             from mhrec_tpu.models.hllm.hllm import load_pretrained_towers
 
             params = load_pretrained_towers(dict(params), self.config)
-        # non-trainable collections (e.g. the frozen item-embedding table)
+        # non-trainable collections (e.g. the frozen item-embedding table) —
+        # explicitly replicated onto the (possibly multi-host) mesh so they
+        # compose with global params inside the jit train step
         self.extra_vars = variables
         if "frozen" in self.extra_vars and self.config.get("all_item_embeds_path"):
             table = np.load(self.config["all_item_embeds_path"])
-            self.extra_vars["frozen"]["all_item_embeds"] = jnp.asarray(table)
+            self.extra_vars["frozen"]["all_item_embeds"] = table
+        self.extra_vars = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), replicate(self.mesh)),
+            self.extra_vars,
+        )
         n_params = sum(x.size for x in jax.tree.leaves(params))
         logger.info("Trainable parameters: %d", n_params)
 
@@ -208,15 +220,52 @@ class Trainer:
                     return False
             return True
 
-        def place(path, param):
-            spec = spec_for_path(path)
-            if spec is not None and any(s is not None for s in spec):
+        # ZeRO-3 / FSDP: shard every large parameter over the 'data' axis
+        # (reference DeepSpeed stage 3, trainer.py:439-446). GSPMD inserts
+        # the per-layer weight all-gathers and gradient reduce-scatters;
+        # optimizer state inherits the sharding below — so a billion-param
+        # tower pair stores params+Adam moments at 1/N per chip. Composes
+        # with TP: the 'data' axis takes a dim the TP spec left free.
+        use_fsdp = bool(self.config.get("fsdp", False)) or (
+            int(self.config.get("zero_stage") or 2) >= 3
+        )
+        fsdp_min = int(self.config.get("fsdp_min_size", 1 << 20) or (1 << 20))
+        dp = self.mesh.shape.get("data", 1)
+
+        def fsdp_spec(param, spec):
+            base = list(spec) if spec is not None else []
+            base += [None] * (param.ndim - len(base))
+            for i in sorted(range(param.ndim), key=lambda i: -param.shape[i]):
+                if base[i] is None and param.shape[i] % dp == 0 \
+                        and param.shape[i] >= dp:
+                    base[i] = "data"
+                    return PartitionSpec(*base)
+            return spec
+
+        def spec_ok(param, spec):
+            return (
+                spec is not None
+                and any(s is not None for s in spec)
                 # GQA kv heads (or other small dims) may not divide the mesh
                 # axis — replicate those rather than failing
-                if all(a in self.mesh.shape for ax in spec if ax is not None
-                       for a in (ax if isinstance(ax, tuple) else (ax,))) \
-                        and divisible(param, spec):
-                    return jax.device_put(param, NamedSharding(self.mesh, spec))
+                and all(a in self.mesh.shape for ax in spec if ax is not None
+                        for a in (ax if isinstance(ax, tuple) else (ax,)))
+                and divisible(param, spec)
+            )
+
+        def place(path, param):
+            if self.num_processes > 1:
+                # host-values → global placement needs plain host data
+                param = np.asarray(param)
+            spec = spec_for_path(path)
+            if not spec_ok(param, spec):
+                spec = None
+            if use_fsdp and dp > 1 and param.size >= fsdp_min:
+                cand = fsdp_spec(param, spec)
+                if spec_ok(param, cand):
+                    spec = cand
+            if spec is not None:
+                return jax.device_put(param, NamedSharding(self.mesh, spec))
             return jax.device_put(param, rep)
 
         params = jtu.tree_map_with_path(place, params)
@@ -243,10 +292,14 @@ class Trainer:
             table = params["item_embedding"]["embedding"]
             table_m = jnp.zeros_like(table, dtype=jnp.float32)
             table_v = jnp.zeros_like(table, dtype=jnp.float32)
+        step0 = jnp.asarray(0, jnp.int32)
+        if self.num_processes > 1:
+            step0 = jax.device_put(np.asarray(0, np.int32), rep)
+            k_state = jax.device_put(np.asarray(k_state), rep)
         self.state = TrainState(
             params=params,
             opt_state=opt_state,
-            step=jnp.asarray(0, jnp.int32),
+            step=step0,
             rng=k_state,
             table_m=table_m,
             table_v=table_v,
@@ -326,11 +379,12 @@ class Trainer:
 
         if self.sparse_item_adam:
             from mhrec_tpu.trainer.sparse_adam import (
-                SparseAdamConfig, sparse_adamw_row_update,
+                SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
             )
 
             sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
             schedule = self.schedule
+            use_dedup = self.sparse_dedup
 
             def train_step(state: TrainState, batch, extra_vars):
                 rng = jax.random.fold_in(state.rng, state.step)
@@ -363,10 +417,14 @@ class Trainer:
                 # consuming state.params here lets XLA dead-code-eliminate
                 # apply_updates' add-zero over the full [N, D] table (a
                 # runtime-zeros add is a full read+write HBM pass otherwise)
+                if use_dedup:
+                    ids_u, mask_u, g_u = dedup_touched_rows(ids, umask, g_sub)
+                else:
+                    ids_u, mask_u, g_u = ids, umask, g_sub
                 new_table, m, v = sparse_adamw_row_update(
                     state.params["item_embedding"]["embedding"],
                     state.table_m, state.table_v,
-                    ids, umask, g_sub,
+                    ids_u, mask_u, g_u,
                     lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
                 )
                 params = dict(params)
@@ -434,7 +492,10 @@ class Trainer:
             t_data += time.time() - td
             ts = time.time()
             self.state, out = self._jit_train_step(self.state, batch)
-            if (it + 1) % self.update_interval == 0 or self.debug:
+            # the NaN check also fires on the final step, so runs shorter
+            # than update_interval can't silently train on NaN losses
+            if (it + 1) % self.update_interval == 0 or self.debug \
+                    or it == micro_steps - 1:
                 loss = float(out["loss"])
                 if math.isnan(loss):
                     raise RuntimeError(f"NaN loss at iter {it}")
@@ -585,7 +646,22 @@ class Trainer:
             # item's token array, so rebuilding it re-tokenized the whole
             # corpus each eval
             if getattr(self, "_corpus_batcher", None) is None:
-                self._corpus_batcher = BatchTextBatcher(self.config, self.dataload)
+                bs = None
+                if self.num_processes > 1:
+                    # chunk rows are sharded over ALL devices of the global
+                    # mesh (shard_identical) — round the chunk size up
+                    total = self.mesh.devices.size
+                    base = (self.config["MAX_ITEM_LIST_LENGTH"]
+                            * self.config["train_batch_size"])
+                    bs = -(-base // total) * total
+                    if self.config.get("packed_corpus_pass", False):
+                        raise ValueError(
+                            "packed_corpus_pass is single-process only; the "
+                            "dense corpus pass shards rows across hosts"
+                        )
+                self._corpus_batcher = BatchTextBatcher(
+                    self.config, self.dataload, batch_size=bs
+                )
             corpus = self._corpus_batcher
             if not hasattr(self, "_item_chunk_fn") or self._item_chunk_fn is None:
                 self._item_chunk_fn = jax.jit(
@@ -620,14 +696,33 @@ class Trainer:
                     )
                 else:
                     px = cb.get("pixel_patches")
-                    emb = self._item_chunk_fn(
-                        self.state.params, jnp.asarray(cb["tokens"]),
-                        jnp.asarray(cb["lens"]),
-                        jnp.asarray(px) if px is not None else None,
+                    if self.num_processes > 1:
+                        from mhrec_tpu.parallel.mesh import shard_identical
+
+                        tok = shard_identical(self.mesh, cb["tokens"])
+                        lens = shard_identical(self.mesh, cb["lens"])
+                        pxd = (shard_identical(self.mesh, px)
+                               if px is not None else None)
+                    else:
+                        tok = jnp.asarray(cb["tokens"])
+                        lens = jnp.asarray(cb["lens"])
+                        pxd = jnp.asarray(px) if px is not None else None
+                    emb = self._item_chunk_fn(self.state.params, tok, lens, pxd)
+                if self.num_processes > 1 and not emb.is_fully_replicated:
+                    # rows are device-sharded: reassemble the full chunk on
+                    # every host (process order == shard order)
+                    from jax.experimental import multihost_utils
+
+                    loc = local_shard(emb)
+                    emb = multihost_utils.process_allgather(loc).reshape(
+                        -1, loc.shape[-1]
                     )
                 chunks.append(np.asarray(emb)[: cb["n_real"]])
             host = np.concatenate(chunks, axis=0)
-            return host if return_host else jnp.asarray(host)
+            if return_host:
+                return host
+            return (put_replicated(self.mesh, host)
+                    if self.num_processes > 1 else jnp.asarray(host))
         if not hasattr(self, "_item_feat_fn") or self._item_feat_fn is None:
             self._item_feat_fn = jax.jit(
                 lambda p: self.model.apply(
@@ -646,6 +741,11 @@ class Trainer:
         need_full = self.collector.register.need("rec.meanrank") or (
             self.collector.register.need("rec.score")
         )
+        if need_full and self.num_processes > 1:
+            raise ValueError(
+                "full-score metrics (GAUC/meanrank/rec.score) are "
+                "single-process only; drop them or evaluate on one host"
+            )
         host_mode = self._use_host_item_table(needs_corpus, need_full)
         raw_item_table = None
         raw_host = norm_host = None
@@ -666,10 +766,12 @@ class Trainer:
                 item_feats = item_feats / jnp.clip(norm, 1e-12, None)
         item_tags = None
         if self.dataload.item_tag_matrix is not None:
-            item_tags = (
-                np.asarray(self.dataload.item_tag_matrix) if host_mode
-                else jnp.asarray(self.dataload.item_tag_matrix)
-            )
+            if host_mode:
+                item_tags = np.asarray(self.dataload.item_tag_matrix)
+            elif self.num_processes > 1:
+                item_tags = put_replicated(self.mesh, self.dataload.item_tag_matrix)
+            else:
+                item_tags = jnp.asarray(self.dataload.item_tag_matrix)
         if self.dataload.item_orig_tag_matrix is not None:
             # Entropy is computed over the ORIGINAL tags even under the
             # random_tags/all_tags ablations (reference trainer.py:823 passes
@@ -749,7 +851,8 @@ class Trainer:
                     detailed,
                 )
             if "switch_correct" in pe:
-                sc = np.asarray(pe["switch_correct"])
+                # per-row [B_local, C] → sum this host's real rows
+                sc = np.asarray(pe["switch_correct"])[:n_real].sum(axis=0)
                 switch_correct_sum = sc if switch_correct_sum is None else switch_correct_sum + sc
             n_eval_samples += n_real
 
@@ -909,23 +1012,49 @@ class Trainer:
                 )
         return cache[kind]
 
+    def _eval_device_batch(self, batch):
+        """Device-side view of an eval batch: item_seq / target_tags sharded
+        on dim 0 over the (possibly multi-host) mesh, plus the fixed-size
+        history-suppression buffers with rows shifted to GLOBAL batch rows."""
+        B_local = batch["item_seq"].shape[0]
+        hist_r = batch["history_row"]
+        hist_c = batch["history_col"]
+        if not self.suppress_history:
+            hist_c = np.full_like(hist_c, -1)
+        if self.num_processes > 1:
+            hist_r = hist_r + self.process_index * B_local
+        return shard_batch(self.mesh, {
+            "item_seq": batch["item_seq"],
+            "target_tags": batch["target_tags"],
+            "hist_r": hist_r.astype(np.int32),
+            "hist_c": hist_c.astype(np.int32),
+        })
+
+    def _shard_local(self, x, n_real: int) -> np.ndarray:
+        """This host's rows of a batch-dim-sharded device result, trimmed to
+        the real (non-padding) rows."""
+        return local_shard(x)[:n_real]
+
     def _device_topk_results(self, eval_batcher, item_feats, raw_item_table,
                              item_tags, top_k, need_full):
         """Per-batch predict + streamed top-k with a device-resident table.
         With ``need_full`` the full masked score tensor rides in the
-        topk_vals slot (GAUC / rec.score path)."""
+        topk_vals slot (GAUC / rec.score path).
+
+        Every host walks the SAME number of batches (the batcher pads with
+        empty ones) and joins every device call — skipping would desync the
+        SPMD program across hosts; empty batches are dropped only AFTER the
+        device work, host-side."""
         predict_fn = self._get_predict_fn(
             "table" if raw_item_table is not None else "plain"
         )
         for batch in eval_batcher.batches():
             n_real = int(batch["sample_weight"].sum())
-            if n_real == 0:
+            if n_real == 0 and self.num_processes == 1:
                 continue
-            predict_args = [
-                self.state.params,
-                jnp.asarray(batch["item_seq"]),
-                jnp.asarray(batch["target_tags"]),
-            ]
+            dev = self._eval_device_batch(batch)
+            predict_args = [self.state.params, dev["item_seq"],
+                            dev["target_tags"]]
             if raw_item_table is not None:
                 predict_args.append(raw_item_table)
             pe = predict_fn(*predict_args)
@@ -933,28 +1062,17 @@ class Trainer:
                 full_scores = np.asarray(
                     self._full_scores(pe, item_feats, item_tags, batch)
                 )[:n_real]
-                yield batch, n_real, full_scores, None, pe
+                if n_real:
+                    yield batch, n_real, full_scores, None, pe
                 continue
             topk_vals, topk_idx = self._stream_score_topk(
-                pe, item_feats, item_tags, batch, top_k
+                pe, item_feats, item_tags, dev, top_k
             )
-            yield (batch, n_real, np.asarray(topk_vals)[:n_real],
-                   np.asarray(topk_idx)[:n_real], pe)
-
-    @staticmethod
-    def _bucketed_history(batch, suppress: bool):
-        hr, hc = batch["history_row"], batch["history_col"]
-        if suppress and len(hr):
-            n = len(hr)
-            bucket = 1 << (n - 1).bit_length()
-            hist_r = np.zeros(bucket, np.int32)
-            hist_c = np.full(bucket, -1, np.int32)
-            hist_r[:n] = hr
-            hist_c[:n] = hc
-        else:
-            hist_r = np.zeros(1, np.int32)
-            hist_c = np.full(1, -1, np.int32)
-        return hist_r, hist_c
+            if n_real:
+                yield (batch, n_real,
+                       self._shard_local(topk_vals, n_real),
+                       self._shard_local(topk_idx, n_real),
+                       {k: local_shard(v) for k, v in pe.items()})
 
     def _host_table_topk_results(self, eval_batcher, raw_host, norm_host,
                                  item_tags, top_k):
@@ -970,62 +1088,97 @@ class Trainer:
         if self._chunk_scorer is None:
             self._chunk_scorer = self._make_chunk_scorer()
         predict_fn = self._get_predict_fn("seq_embeds")
+        # batch-group tiling: holding EVERY batch's device state (head embs +
+        # running top-k) until the single table pass grows linearly with the
+        # eval set — instead process G batches per table pass, where G comes
+        # from an explicit config or an HBM budget. Tradeoff: the host table
+        # streams to the device ceil(n_batches/G) times.
+        group = int(self.config.get("host_eval_group_size", 0) or 0)
+        budget = float(
+            self.config.get("host_eval_state_budget_gb", 2.0) or 2.0
+        ) * (1 << 30)
         states = []
+
+        def flush(states):
+            """Stream the full item table through the device once for this
+            GROUP of batches, then emit their results."""
+            if not states:
+                return
+            I = norm_host.shape[0]
+            chunk = min(self.item_chunk_size, I)
+            n_chunks = -(-I // chunk)
+            for ci in range(n_chunks):
+                off = ci * chunk
+                feats_np = norm_host[off:off + chunk]
+                tags_np = item_tags[off:off + chunk] if item_tags is not None else None
+                if feats_np.shape[0] < chunk:       # static shapes: pad tail
+                    pad = chunk - feats_np.shape[0]
+                    feats_np = np.pad(feats_np, ((0, pad), (0, 0)))
+                    if tags_np is not None:
+                        tags_np = np.pad(tags_np, ((0, pad), (0, 0)))
+                feats_c = put_replicated(self.mesh, feats_np)
+                tags_c = (
+                    put_replicated(self.mesh, tags_np)
+                    if tags_np is not None else None
+                )
+                for st in states:
+                    st["run_vals"], st["run_idx"] = self._chunk_scorer(
+                        self.state.params, st["head_embs"], st["switch_pred"],
+                        feats_c, tags_c, st["tgt"], off, I,
+                        st["hist_r"], st["hist_c"],
+                        st["run_vals"], st["run_idx"], top_k,
+                    )
+            for st in states:
+                n_real = st["n_real"]
+                if n_real:
+                    yield (st["batch"], n_real,
+                           self._shard_local(st["run_vals"], n_real),
+                           self._shard_local(st["run_idx"], n_real),
+                           st["pe_host"])
+
         for batch in eval_batcher.batches():
             n_real = int(batch["sample_weight"].sum())
-            if n_real == 0:
+            if n_real == 0 and self.num_processes == 1:
                 continue
             seq_embeds = raw_host[batch["item_seq"]]       # host gather [B,L,D]
+            dev = self._eval_device_batch(batch)
             pe = predict_fn(
-                self.state.params,
-                jnp.asarray(batch["item_seq"]),
-                jnp.asarray(batch["target_tags"]),
-                jnp.asarray(seq_embeds),
+                self.state.params, dev["item_seq"], dev["target_tags"],
+                shard_batch(self.mesh, seq_embeds.astype(np.float32)),
             )
-            hist_r, hist_c = self._bucketed_history(batch, self.suppress_history)
             B, H, _ = pe["head_embs"].shape
             Heff = 1 if (self.config["split_mode"] == "average" and H > 1) else H
+            B_local = batch["item_seq"].shape[0]
             states.append({
                 "batch": batch, "n_real": n_real,
                 "head_embs": pe["head_embs"],
                 "switch_pred": pe.get("switch_pred"),
-                "pe_host": {k: np.asarray(v) for k, v in pe.items()},
-                "tgt": jnp.asarray(batch["target_tags"]),
-                "hist_r": jnp.asarray(hist_r), "hist_c": jnp.asarray(hist_c),
-                "run_vals": jnp.full((B, Heff, top_k), -jnp.inf, jnp.float32),
-                "run_idx": jnp.zeros((B, Heff, top_k), jnp.int32),
+                "pe_host": {k: local_shard(v) for k, v in pe.items()},
+                "tgt": dev["target_tags"],
+                "hist_r": dev["hist_r"], "hist_c": dev["hist_c"],
+                "run_vals": shard_batch(self.mesh, np.full(
+                    (B_local, Heff, top_k), -np.inf, np.float32)),
+                "run_idx": shard_batch(self.mesh, np.zeros(
+                    (B_local, Heff, top_k), np.int32)),
             })
-
-        I = norm_host.shape[0]
-        chunk = min(self.item_chunk_size, I)
-        n_chunks = -(-I // chunk)
-        for ci in range(n_chunks):
-            off = ci * chunk
-            feats_np = norm_host[off:off + chunk]
-            tags_np = item_tags[off:off + chunk] if item_tags is not None else None
-            if feats_np.shape[0] < chunk:           # static shapes: pad tail
-                pad = chunk - feats_np.shape[0]
-                feats_np = np.pad(feats_np, ((0, pad), (0, 0)))
-                if tags_np is not None:
-                    tags_np = np.pad(tags_np, ((0, pad), (0, 0)))
-            feats_c = jnp.asarray(feats_np)
-            tags_c = jnp.asarray(tags_np) if tags_np is not None else None
-            for st in states:
-                st["run_vals"], st["run_idx"] = self._chunk_scorer(
-                    self.state.params, st["head_embs"], st["switch_pred"],
-                    feats_c, tags_c, st["tgt"], off, I,
-                    st["hist_r"], st["hist_c"],
-                    st["run_vals"], st["run_idx"], top_k,
+            if not group:
+                st = states[0]
+                per_state = (
+                    st["head_embs"].nbytes
+                    + (st["switch_pred"].nbytes if st["switch_pred"] is not None else 0)
+                    + st["tgt"].nbytes
+                    + 2 * st["run_vals"].nbytes
                 )
-        for st in states:
-            n_real = st["n_real"]
-            yield (st["batch"], n_real,
-                   np.asarray(st["run_vals"])[:n_real],
-                   np.asarray(st["run_idx"])[:n_real], st["pe_host"])
+                group = max(1, int(budget // max(per_state, 1)))
+            if len(states) >= group:
+                yield from flush(states)
+                states = []
+        yield from flush(states)
 
-    def _stream_score_topk(self, pe, item_feats, item_tags, batch, top_k: int):
+    def _stream_score_topk(self, pe, item_feats, item_tags, dev, top_k: int):
         """Chunked full-corpus scoring with pad/history masking and on-device
-        per-head top-k merge."""
+        per-head top-k merge. ``dev`` is the device-side eval batch from
+        ``_eval_device_batch`` (global arrays under multi-host)."""
         I = item_feats.shape[0]
         chunk = min(self.item_chunk_size, I)
         n_chunks = -(-I // chunk)
@@ -1034,14 +1187,16 @@ class Trainer:
         if self._chunk_scorer is None:
             self._chunk_scorer = self._make_chunk_scorer()
 
-        # static-size history arrays (bucketed to limit recompiles)
-        hist_r, hist_c = self._bucketed_history(batch, self.suppress_history)
-
         B, H, _ = pe["head_embs"].shape
         if self.config["split_mode"] == "average" and H > 1:
             H = 1  # heads fused by finite-mean inside the chunk scorer
-        run_vals = jnp.full((B, H, top_k), -jnp.inf, jnp.float32)
-        run_idx = jnp.zeros((B, H, top_k), jnp.int32)
+        B_local = B // self.num_processes
+        run_vals = shard_batch(
+            self.mesh, np.full((B_local, H, top_k), -np.inf, np.float32)
+        )
+        run_idx = shard_batch(
+            self.mesh, np.zeros((B_local, H, top_k), np.int32)
+        )
 
         feats_padded = item_feats
         tags_padded = item_tags
@@ -1051,7 +1206,6 @@ class Trainer:
                 tags_padded = jnp.pad(item_tags, ((0, padded - I), (0, 0)))
 
         switch_pred = pe.get("switch_pred")
-        tgt_tags = jnp.asarray(batch["target_tags"])
         for ci in range(n_chunks):
             off = ci * chunk
             feats_c = jax.lax.dynamic_slice_in_dim(feats_padded, off, chunk, 0)
@@ -1062,7 +1216,7 @@ class Trainer:
             )
             run_vals, run_idx = self._chunk_scorer(
                 self.state.params, pe["head_embs"], switch_pred, feats_c, tags_c,
-                tgt_tags, off, I, jnp.asarray(hist_r), jnp.asarray(hist_c),
+                dev["target_tags"], off, I, dev["hist_r"], dev["hist_c"],
                 run_vals, run_idx, top_k,
             )
         return run_vals, run_idx
@@ -1079,10 +1233,14 @@ class Trainer:
         )
         gid = jnp.arange(I)
         scores = jnp.where(gid[None, None, :] == 0, -jnp.inf, scores)
-        if self.suppress_history and len(batch["history_row"]):
+        if self.suppress_history:
+            # fixed-size buffers: col == -1 marks padding (no-op add)
             hr = jnp.asarray(batch["history_row"], jnp.int32)
             hc = jnp.asarray(batch["history_col"], jnp.int32)
-            scores = scores.at[hr, :, hc].set(-jnp.inf)
+            ok = hc >= 0
+            add = jnp.where(ok, -jnp.inf, 0.0)
+            hc_safe = jnp.clip(hc, 0, I - 1)
+            scores = scores.at[hr, :, hc_safe].add(add[:, None])
         return scores
 
     def _make_chunk_scorer(self):

@@ -61,12 +61,13 @@ def test_streamed_chunk_merge_matches_single_chunk(synth_dir, tmp_path_factory):
         jnp.asarray(batch["item_seq"]), jnp.asarray(batch["target_tags"]),
         method="predict_embeddings",
     )
-    big_v, big_i = t._stream_score_topk(pe, item_feats, item_tags, batch, 10)
+    dev = t._eval_device_batch(batch)
+    big_v, big_i = t._stream_score_topk(pe, item_feats, item_tags, dev, 10)
     t2 = Trainer(cfg, data)
     t2.state = t.state
     t2.extra_vars = t.extra_vars
     t2.item_chunk_size = 64  # force 5 chunks over 300 items
-    small_v, small_i = t2._stream_score_topk(pe, item_feats, item_tags, batch, 10)
+    small_v, small_i = t2._stream_score_topk(pe, item_feats, item_tags, dev, 10)
     np.testing.assert_allclose(np.asarray(big_v), np.asarray(small_v), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(big_i), np.asarray(small_i))
 

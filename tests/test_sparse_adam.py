@@ -117,3 +117,57 @@ def test_sparse_with_sharded_table(synth_dir):
     batch = shard_batch(t.mesh, {k: jnp.asarray(v) for k, v in b.items()})
     state, out = t._jit_train_step(t.state, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_dedup_touched_rows_matches_summed_grads():
+    """Cross-host duplicate row ids: the deduped row update must equal one
+    Adam step on the SUMMED gradients (what a dense optimizer sees after the
+    grad psum) — never two sequential nonlinear row updates."""
+    from mhrec_tpu.trainer.sparse_adam import (
+        SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
+    )
+
+    rng = np.random.default_rng(3)
+    N, D, U = 20, 4, 6
+    table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    m = jnp.zeros((N, D), jnp.float32)
+    v = jnp.zeros((N, D), jnp.float32)
+    cfg = SparseAdamConfig(weight_decay=0.01)
+
+    # two virtual host blocks, overlapping on rows 5 and 7; pad slots (id 0,
+    # mask 0) in both blocks
+    ids = jnp.asarray([0, 5, 7, 9, 0, 0,        # host 0 block
+                       0, 5, 7, 11, 13, 0])     # host 1 block
+    mask = jnp.asarray([1, 1, 1, 1, 0, 0,
+                        1, 1, 1, 1, 1, 0], jnp.float32)
+    grads = jnp.asarray(rng.normal(size=(2 * U, D)).astype(np.float32))
+
+    ids_u, mask_u, g_u = dedup_touched_rows(ids, mask, grads)
+    t1, m1, v1 = sparse_adamw_row_update(
+        table, m, v, ids_u, mask_u, g_u, lr=0.01, step_count=jnp.asarray(0),
+        cfg=cfg,
+    )
+
+    # oracle: manually summed gradients, one entry per distinct id
+    man_ids = jnp.asarray([0, 5, 7, 9, 11, 13])
+    man_mask = jnp.ones(6, jnp.float32)
+    man_g = jnp.stack([
+        grads[0] + grads[6],          # id 0 (both hosts' real pad rows)
+        grads[1] + grads[7],          # id 5
+        grads[2] + grads[8],          # id 7
+        grads[3],                     # id 9
+        grads[9],                     # id 11
+        grads[10],                    # id 13
+    ])
+    t2, m2, v2 = sparse_adamw_row_update(
+        table, m, v, man_ids, man_mask, man_g, lr=0.01,
+        step_count=jnp.asarray(0), cfg=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    # masked pad slots (mask 0 everywhere) never touched their rows
+    untouched = np.setdiff1d(np.arange(N), np.asarray([0, 5, 7, 9, 11, 13]))
+    np.testing.assert_array_equal(
+        np.asarray(t1)[untouched], np.asarray(table)[untouched]
+    )

@@ -229,6 +229,7 @@ def test_vision_config_and_loader(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_hllm_use_image_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     """Full use_image run: tiny qwen2-vl item tower, images on disk for some
     items, black fallback for the rest; one fit + evaluate."""
@@ -356,6 +357,7 @@ def _write_tiny_llava_ckpt(dirpath, vocab=96, hidden=32, layers=2, heads=4,
         )
 
 
+@pytest.mark.slow
 def test_llava_clip_tower_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     """LLaVA-family item tower: text_config parsing, language_model.* weight
     nesting, CLIP vision tower, one fit + evaluate."""
@@ -497,6 +499,7 @@ def test_anyres_clip_pack_matches_reference_math():
         np.testing.assert_allclose(packed[n, P:], want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_llava_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     """HLLM + LLaVA tower with anyres_grid: fit + evaluate run, image span
     sized base+grid+newlines."""
