@@ -67,12 +67,42 @@ class STULayer(nn.Module):
         if self.linear_activation == "silu":
             mixed = nn.silu(mixed)
         u, v, q, k = jnp.split(mixed, [dv * h, 2 * dv * h, 2 * dv * h + dqk * h], axis=-1)
-        q = q.reshape(B, L, h, dqk)
-        k = k.reshape(B, L, h, dqk)
-        v = v.reshape(B, L, h, dv)
-        attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl, bias=attn_bias)
-        attn = attn.reshape(B, L, h * dv)
-        gated = u * nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="attn_norm")(attn)
+        # fused STU kernel (ops/pallas v3): attention + u·LN gating in one
+        # VMEM residency, consuming the flat uvqk layout with no transposes
+        fused_ok = (
+            attn_bias is None
+            and (dv * h) % 128 == 0
+            and (dqk * h) % 128 == 0
+        )
+        if self.attn_impl == "fused" and fused_ok:
+            from mhrec_tpu.ops.pallas.hstu_attention_tpu import (
+                hstu_attention_gated_pallas,
+            )
+
+            class _LNParams(nn.Module):
+                dim: int
+
+                @nn.compact
+                def __call__(self):
+                    # same param names/shapes as nn.LayerNorm → checkpoints
+                    # are interchangeable between fused and unfused paths
+                    return (
+                        self.param("scale", nn.initializers.ones, (self.dim,)),
+                        self.param("bias", nn.initializers.zeros, (self.dim,)),
+                    )
+
+            gamma, beta = _LNParams(dim=h * dv, name="attn_norm")()
+            interpret = jax.devices()[0].platform != "tpu"
+            gated = hstu_attention_gated_pallas(
+                q, k, v, u, gamma, beta, attn_mask, h, interpret=interpret
+            )
+        else:
+            q = q.reshape(B, L, h, dqk)
+            k = k.reshape(B, L, h, dqk)
+            v = v.reshape(B, L, h, dv)
+            attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl, bias=attn_bias)
+            attn = attn.reshape(B, L, h * dv)
+            gated = u * nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="attn_norm")(attn)
         gated = nn.Dropout(self.dropout_ratio)(gated, deterministic=deterministic)
         out = nn.Dense(
             D,

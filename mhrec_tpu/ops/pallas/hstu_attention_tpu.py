@@ -355,3 +355,242 @@ def hstu_attention_pallas_v2(q, k, v, mask, interpret: bool = False):
     vt = v.transpose(0, 2, 1, 3)
     out = _hstu_attention_bhld_v2(qt, kt, vt, nonpad, L, interpret)
     return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# v3 "fused STU": attention + the u · LayerNorm(attn) gating in ONE kernel.
+#
+# The STU block's hot chain is attention → reshape [B,L,H,dv]→[B,L,H·dv] →
+# LayerNorm over the full feature dim → multiply by the u gate
+# (reference hstu.py:241-290: `u * F.layer_norm(attn)`). v2 lost end-to-end
+# because its [B,H,L,D] layout forced transposes on both sides and the LN +
+# gating still round-tripped the attention output through HBM. v3:
+#   * consumes q/k/v/u in their NATIVE flat layout [B, L, H·d] (straight
+#     from the uvqk split — zero transposes outside the kernel);
+#   * a (b, q-tile) program computes every head's masked-silu attention,
+#     keeps the concatenated [TQ, H·dv] activation in VMEM, applies the
+#     f32 LayerNorm + u-gate there, and writes ONLY the gated output;
+#   * custom VJP recomputes attention per batch row and chains the LN/gate
+#     backward in-kernel (dq, dk, dv, du + per-batch dγ/dβ partials).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
+                      o_ref, *, n_real: int, tq: int, H: int, dqk: int,
+                      dv: int, eps: float):
+    qi = pl.program_id(1)
+    nonpad = nonpad_ref[0, 0]                       # [L]
+    L = k_ref.shape[1]
+    rows = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
+    mask = (cols <= rows) & (nonpad[None, :] > 0)
+    outs = []
+    for h in range(H):
+        qh = q_ref[0][:, h * dqk:(h + 1) * dqk]     # [TQ, dqk]
+        kh = k_ref[0][:, h * dqk:(h + 1) * dqk]     # [L, dqk]
+        vh = v_ref[0][:, h * dv:(h + 1) * dv]       # [L, dv]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = _silu(s) * (1.0 / n_real)
+        s = jnp.where(mask, s, 0.0).astype(vh.dtype)
+        outs.append(jax.lax.dot_general(
+            s, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    attn = jnp.concatenate(outs, axis=-1)           # [TQ, H·dv] f32
+    mu = jnp.mean(attn, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(attn - mu), axis=-1, keepdims=True)
+    xhat = (attn - mu) * jax.lax.rsqrt(var + eps)
+    y = xhat * gam_ref[:].astype(jnp.float32) + bet_ref[:].astype(jnp.float32)
+    o_ref[0] = (u_ref[0].astype(jnp.float32) * y).astype(o_ref.dtype)
+
+
+def _bwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
+                      g_ref, dq_ref, dk_ref, dv_ref, du_ref, dgam_ref, dbet_ref,
+                      *, n_real: int, H: int, dqk: int, dv: int, eps: float):
+    nonpad = nonpad_ref[0, 0]
+    L = q_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    mask = (cols <= rows) & (nonpad[None, :] > 0)
+
+    # recompute attention (concatenated activation) in f32
+    outs = []
+    for h in range(H):
+        qh = q_ref[0][:, h * dqk:(h + 1) * dqk]
+        kh = k_ref[0][:, h * dqk:(h + 1) * dqk]
+        vh = v_ref[0][:, h * dv:(h + 1) * dv]
+        x = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sig = jax.nn.sigmoid(x)
+        a = jnp.where(mask, x * sig * (1.0 / n_real), 0.0).astype(vh.dtype)
+        outs.append(jax.lax.dot_general(
+            a, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    attn = jnp.concatenate(outs, axis=-1)           # [L, F] f32
+    F = attn.shape[-1]
+    mu = jnp.mean(attn, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(attn - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (attn - mu) * inv
+
+    g = g_ref[0].astype(jnp.float32)                # [L, F]
+    u = u_ref[0].astype(jnp.float32)
+    gam = gam_ref[:].astype(jnp.float32)            # [1, F]
+    bet = bet_ref[:].astype(jnp.float32)
+    dy = u * g                                      # grad into LN output
+    du_ref[0] = ((xhat * gam + bet) * g).astype(du_ref.dtype)
+    # per-batch affine partials; blocks must be ≥8 sublanes on TPU, so the
+    # [F] vector rides row 0 of an 8-row buffer (summed away outside)
+    dgam_ref[0] = jnp.zeros((8, F), jnp.float32).at[0].set(
+        jnp.sum(dy * xhat, axis=0))
+    dbet_ref[0] = jnp.zeros((8, F), jnp.float32).at[0].set(
+        jnp.sum(dy, axis=0))
+    dxhat = dy * gam
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dattn = (dxhat - m1 - xhat * m2) * inv          # [L, F] f32
+
+    for h in range(H):
+        qh = q_ref[0][:, h * dqk:(h + 1) * dqk]
+        kh = k_ref[0][:, h * dqk:(h + 1) * dqk]
+        vh = v_ref[0][:, h * dv:(h + 1) * dv]
+        ga = dattn[:, h * dv:(h + 1) * dv].astype(vh.dtype)  # [L, dv]
+        x = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sig = jax.nn.sigmoid(x)
+        a = jnp.where(mask, x * sig * (1.0 / n_real), 0.0).astype(vh.dtype)
+        dv_ref[0, :, h * dv:(h + 1) * dv] = jax.lax.dot_general(
+            a, ga, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        da = jax.lax.dot_general(
+            ga, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dsilu = sig * (1.0 + x * (1.0 - sig))
+        ds = jnp.where(mask, da * dsilu * (1.0 / n_real), 0.0).astype(qh.dtype)
+        dq_ref[0, :, h * dqk:(h + 1) * dqk] = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, h * dqk:(h + 1) * dqk] = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _hstu_gated_flat(q, k, v, u, gamma, beta, nonpad, H: int, dqk: int,
+                     dv: int, eps: float, interpret: bool):
+    out, _ = _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps,
+                        interpret)
+    return out
+
+
+def _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret):
+    B, L, Fq = q.shape
+    F = v.shape[-1]
+    L_pad = _round_up(L, 128)
+    tq = 256 if L_pad % 256 == 0 else 128
+    qp = _pad_to(q, L_pad, 1)
+    kp = _pad_to(k, L_pad, 1)
+    vp = _pad_to(v, L_pad, 1)
+    up = _pad_to(u, L_pad, 1)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]
+    gam2 = gamma.reshape(1, F)
+    bet2 = beta.reshape(1, F)
+
+    grid = (B, L_pad // tq)
+    out = pl.pallas_call(
+        functools.partial(_fwd_gated_kernel, n_real=L, tq=tq, H=H, dqk=dqk,
+                          dv=dv, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, L_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, Fq), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L_pad, Fq), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L_pad, F), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, F), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L_pad, F), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * L_pad * L_pad * (Fq + F) + 10 * B * L_pad * F,
+            bytes_accessed=2 * B * L_pad * (2 * Fq + 3 * F),
+            transcendentals=B * H * L_pad * L_pad,
+        ),
+        interpret=interpret,
+    )(np_pad, qp, kp, vp, up, gam2, bet2)
+    return out[:, :L], (q, k, v, u, gamma, beta, nonpad)
+
+
+def _bwd_gated(H, dqk, dv, eps, interpret, res, g):
+    q, k, v, u, gamma, beta, nonpad = res
+    B, L, Fq = q.shape
+    F = v.shape[-1]
+    L_pad = _round_up(L, 128)
+    qp = _pad_to(q, L_pad, 1)
+    kp = _pad_to(k, L_pad, 1)
+    vp = _pad_to(v, L_pad, 1)
+    up = _pad_to(u, L_pad, 1)
+    gp = _pad_to(g, L_pad, 1)
+    np_pad = _pad_to(nonpad, L_pad, 1).astype(jnp.int32)[:, None, :]
+    gam2 = gamma.reshape(1, F)
+    bet2 = beta.reshape(1, F)
+
+    spec_q = pl.BlockSpec((1, L_pad, Fq), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    spec_f = pl.BlockSpec((1, L_pad, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dvv, du, dgam, dbet = pl.pallas_call(
+        functools.partial(_bwd_gated_kernel, n_real=L, H=H, dqk=dqk, dv=dv,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            spec_q, spec_q, spec_f, spec_f,
+            pl.BlockSpec((1, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            spec_f,
+        ],
+        out_specs=[
+            spec_q, spec_q, spec_f, spec_f,
+            pl.BlockSpec((1, 8, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L_pad, Fq), q.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, Fq), k.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, F), v.dtype),
+            jax.ShapeDtypeStruct((B, L_pad, F), u.dtype),
+            jax.ShapeDtypeStruct((B, 8, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(np_pad, qp, kp, vp, up, gam2, bet2, gp)
+    return (dq[:, :L], dk[:, :L], dvv[:, :L], du[:, :L],
+            jnp.sum(dgam, axis=(0, 1)).astype(gamma.dtype),
+            jnp.sum(dbet, axis=(0, 1)).astype(beta.dtype), None)
+
+
+_hstu_gated_flat.defvjp(
+    lambda q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret:
+        _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret),
+    _bwd_gated,
+)
+
+
+def hstu_attention_gated_pallas(q, k, v, u, gamma, beta, mask, num_heads: int,
+                                eps: float = 1e-6, interpret: bool = False):
+    """Fused STU hot chain: ``u * LayerNorm(attention(q, k, v))``.
+
+    q/k [B, L, H·dqk], v/u [B, L, H·dv] in their NATIVE flat layout (the
+    uvqk split, reference hstu.py:241-290); gamma/beta [H·dv] LN affine;
+    mask [B, 1|H, L, L] with the causal & nonpad-key structure.
+    → gated activation [B, L, H·dv].
+    """
+    B, L, Fq = q.shape
+    F = v.shape[-1]
+    H = num_heads
+    nonpad = mask[:, 0, L - 1, :]
+    return _hstu_gated_flat(q, k, v, u, gamma, beta, nonpad, H, Fq // H,
+                            F // H, eps, interpret)

@@ -155,7 +155,11 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
 
     res_dev = run(host_item_table=False)
     res_host = run(host_item_table=True)
-    assert res_dev.keys() == res_host.keys()
+    # batch-group tiling (group=1 → one table pass per eval batch) bounds
+    # device state at corpus scale; must stay metric-identical
+    res_tiled = run(host_item_table=True, host_eval_group_size=1)
+    assert res_dev.keys() == res_host.keys() == res_tiled.keys()
     for section in res_dev:
         for k, v in res_dev[section].items():
             assert abs(v - res_host[section][k]) < 1e-6, (section, k, v, res_host[section][k])
+            assert abs(v - res_tiled[section][k]) < 1e-6, (section, k, v, res_tiled[section][k])

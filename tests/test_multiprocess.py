@@ -204,3 +204,115 @@ def test_two_process_train_matches_composed_single_process(synth_dir, tmp_path):
             assert mp_metrics[section][k] == pytest.approx(v, abs=tol), (
                 section, k, v, mp_metrics[section][k]
             )
+
+
+HLLM_OVERRIDES = dict(
+    model="HLLM",
+    dummy_llm=True,
+    dummy_vocab_size=128,
+    dummy_hidden_size=32,
+    MAX_ITEM_LIST_LENGTH=6,
+    MAX_TEXT_LENGTH=12,
+    train_batch_size=16,
+    eval_batch_size=16,
+    num_negatives=16,
+    tag_version="v1",
+    eval_pred_len=2,
+    pred_len=2,
+    topk=[5],
+    total_iters=4,
+    eval_interval=100,
+    update_interval=1,
+    show_progress=False,
+)
+
+
+def _hllm_cli_args(meta, ckpt_dir, result_path):
+    args = [
+        "--config_file", "overall/LLM.yaml", "HLLM/HLLM.yaml", "--",
+        "--data_path", meta["data_path"], "--dataset", meta["name"],
+        "--text_path", meta["text_path"],
+        "--checkpoint_dir", ckpt_dir,
+        "--result_json_path", result_path,
+    ]
+    for k, v in HLLM_OVERRIDES.items():
+        args += [f"--{k}", json.dumps(v) if isinstance(v, (list, bool)) else str(v)]
+    return args
+
+
+@pytest.mark.slow
+def test_two_process_hllm_dense_matches_composed(synth_dir, tmp_path):
+    """HLLM (dense dummy towers) across 2 processes: exercises the
+    multi-host text batcher, the sharded corpus-embedding pass
+    (shard_identical + host allgather), and HLLM eval — against the
+    composed single-process oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhrec_tpu.data.textset import TextSEQTrainBatcher
+    from mhrec_tpu.trainer import Trainer
+
+    result_path = os.path.join(str(tmp_path), "mp_hllm")
+    procs = []
+    for pid in range(N_PROC):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={DEV_PER_PROC}"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        cmd = [
+            sys.executable, "-m", "mhrec_tpu.run",
+            "--multihost",
+            "--coordinator_address", f"localhost:{PORT + 4}",
+            "--num_processes", str(N_PROC),
+            "--process_id", str(pid),
+        ] + _hllm_cli_args(synth_dir, os.path.join(str(tmp_path), "ck"), result_path)
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = []
+    for pid in range(N_PROC):
+        with open(f"{result_path}.{pid}.json") as f:
+            results.append(json.load(f))
+    assert results[0]["final_loss"] == pytest.approx(results[1]["final_loss"], rel=1e-6)
+    assert results[0]["result"] == results[1]["result"]
+
+    # composed single-process oracle
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            HLLM_OVERRIDES,
+            data_path=synth_dir["data_path"], dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            checkpoint_dir=str(tmp_path / "ref_ck"),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    trainer = Trainer(cfg, data)
+
+    from mhrec_tpu.parallel.mesh import make_mesh
+
+    trainer.mesh = make_mesh(jax.devices()[: N_PROC * DEV_PER_PROC])
+    trainer.setup_model()
+
+    class ComposedText(ComposedBatcher):
+        def __init__(self, config, dataload):
+            self.parts = [
+                TextSEQTrainBatcher(config, dataload, host_id=h, num_hosts=N_PROC)
+                for h in range(N_PROC)
+            ]
+
+    stats = trainer.fit(ComposedText(cfg, data), None)
+    assert stats["loss"] == pytest.approx(results[0]["final_loss"], rel=5e-4)
+
+    test_batcher = SeqEvalBatcher(cfg, data, phase="test")
+    result = trainer.evaluate(test_batcher, load_best_model=False)
+    for section, metrics in result.items():
+        for k, v in metrics.items():
+            tol = 2e-3 if k.startswith("Entropy") else 5e-5
+            assert results[0]["result"][section][k] == pytest.approx(v, abs=tol), (
+                section, k, v, results[0]["result"][section][k]
+            )

@@ -86,3 +86,55 @@ def test_pallas_v2_matches_xla_fwd_and_grads():
     for a, b in zip(g_v2, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gated_kernel_matches_unfused_layer():
+    """v3 fused STU kernel (attention + u·LN gating, custom VJP) must match
+    the unfused XLA path — outputs and every gradient incl. the LN affine."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhrec_tpu.models.idnet.hstu import STULayer
+
+    B, L, D, h = 2, 20, 128, 2
+    dqk = dv = D // h
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    nonpad = np.ones((B, L), bool)
+    nonpad[1, 13:] = False
+    tri = np.tril(np.ones((L, L), bool))
+    mask = jnp.asarray(nonpad[:, None, None, :] & tri[None, None])
+
+    def make(impl):
+        return STULayer(
+            embedding_dim=D, linear_dim=dv, attention_dim=dqk, num_heads=h,
+            dropout_ratio=0.0, attn_impl=impl, dtype=jnp.float32,
+        )
+
+    params = make("xla").init(
+        {"params": jax.random.PRNGKey(0)}, x, mask, deterministic=True
+    )["params"]
+    # nudge the LN affine away from identity so its gradients are exercised
+    params = dict(params)
+    params["attn_norm"] = {
+        "scale": jnp.asarray(1.0 + 0.1 * rng.normal(size=(D,)), jnp.float32),
+        "bias": jnp.asarray(0.05 * rng.normal(size=(D,)), jnp.float32),
+    }
+
+    def loss(p, impl):
+        out = make(impl).apply({"params": p}, x, mask, deterministic=True)
+        w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(out.shape)
+        return jnp.sum(out * w)
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    l_f, g_f = jax.value_and_grad(lambda p: loss(p, "fused"))(params)
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=2e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_f = {jax.tree_util.keystr(p): v for p, v in
+              jax.tree_util.tree_leaves_with_path(g_f)}
+    for p, v in flat_x:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(flat_f[key]), np.asarray(v), rtol=2e-4, atol=2e-5,
+            err_msg=key,
+        )
