@@ -39,6 +39,7 @@ def generate_synthetic_dataset(
     with_events: bool = False,
     with_user_clusters: bool = False,
     seed: int = 0,
+    text_words: int = 4,
 ) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(data_path, exist_ok=True)
@@ -89,7 +90,14 @@ def generate_synthetic_dataset(
             "item_id": [f"i{x}" for x in range(num_items)],
             "title": [f"Item number {x}" for x in range(num_items)],
             "tag": [tag_names[item_tags[x]] for x in range(num_items)],
-            "description": [f"Synthetic item {x} description." for x in range(num_items)],
+            # text_words > 4 pads descriptions with distinct filler words so
+            # protocol-scale benches (MAX_TEXT_LENGTH=256) see real-length
+            # token streams instead of 6-token titles
+            "description": [
+                " ".join([f"Synthetic item {x} description."]
+                         + [f"w{(x * 37 + j) % 9973}" for j in range(max(0, text_words - 4))])
+                for x in range(num_items)
+            ],
             "interact_count": interact_count,
         }
     )

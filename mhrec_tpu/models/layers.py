@@ -24,8 +24,14 @@ def l2_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def cosine_normalize(x: jnp.ndarray) -> jnp.ndarray:
-    """Plain x / ||x|| as used by the NCE loss (hstu.py:605-606)."""
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    """x / max(||x||, eps) — the reference mixes plain ``x / x.norm()``
+    (hstu.py:605-606, always on non-zero rows) and ``F.normalize`` with
+    torch's default eps=1e-12 (comirec.py:166-167, where all-padded prefix
+    windows yield exactly-zero interest vectors). The eps form is NaN-safe on
+    those zero rows — and numerically identical on every real embedding —
+    so it is used everywhere."""
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, 1e-12)
 
 
 class ResBlock(nn.Module):

@@ -442,11 +442,11 @@ def _bwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
     dy = u * g                                      # grad into LN output
     du_ref[0] = ((xhat * gam + bet) * g).astype(du_ref.dtype)
     # per-batch affine partials; blocks must be ≥8 sublanes on TPU, so the
-    # [F] vector rides row 0 of an 8-row buffer (summed away outside)
-    dgam_ref[0] = jnp.zeros((8, F), jnp.float32).at[0].set(
-        jnp.sum(dy * xhat, axis=0))
-    dbet_ref[0] = jnp.zeros((8, F), jnp.float32).at[0].set(
-        jnp.sum(dy, axis=0))
+    # [F] vector rides row 0 of an 8-row buffer (summed away outside).
+    # iota-select instead of .at[0].set — scatter does not lower on TPU.
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, F), 0) == 0)
+    dgam_ref[0] = jnp.where(row0, jnp.sum(dy * xhat, axis=0, keepdims=True), 0.0)
+    dbet_ref[0] = jnp.where(row0, jnp.sum(dy, axis=0, keepdims=True), 0.0)
     dxhat = dy * gam
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)

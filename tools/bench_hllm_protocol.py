@@ -1,0 +1,197 @@
+"""Protocol-SCALE HLLM measurements on the real chip (VERDICT r1 next-step #7).
+
+The reference protocol (reproduce/HLLM-Pixel8M-base.slurm:29-72) trains
+~1-2B-param towers at MAX_TEXT_LENGTH=256, seq 10, bs 16/device under
+DeepSpeed stage 2/3 across many 80 GB GPUs. A single v5e chip (16 GB) cannot
+hold the full two-tower pair's fp32 Adam state (2.2B params -> 8.8 GB params
++ 13.2 GB opt), so this tool measures the protocol components that DO run on
+one chip and records the memory math for the multi-chip FSDP path (validated
+by tools/dryrun_hllm_1b.py / dryrun_multichip):
+
+  corpus    - item-tower corpus-embedding pass, TinyLlama-1.1B topology,
+              256 tokens/item, bf16 fwd (the eval-side hot loop) -> items/s.
+  freeze    - train step with ``freeze_item_llm`` (a first-class reference
+              mode, hllm.py:485-488): 1.1B user tower trains over the
+              precomputed item table, seq 10, bs 16 -> ex/s/chip.
+  pair      - full two-tower packed train step at 256 tokens at the largest
+              per-tower size that fits one chip (default 12L/2048d ~ 0.66B
+              per tower; --layers N to push). OOM is caught and reported.
+
+Usage: python tools/bench_hllm_protocol.py [corpus|freeze|pair|all] [--layers N]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def tower_dir(n_layers=22, hidden=2048, heads=32, kv_heads=4,
+              vocab=32000, intermediate=5632):
+    """TinyLlama-1.1B topology by default (22L/2048d/32h/GQA-4)."""
+    d = tempfile.mkdtemp(prefix="mhrec_tower_")
+    cfg = dict(
+        model_type="llama", vocab_size=vocab, hidden_size=hidden,
+        intermediate_size=intermediate, num_hidden_layers=n_layers,
+        num_attention_heads=heads, num_key_value_heads=kv_heads,
+        max_position_embeddings=4096, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    with open(os.path.join(d, "config.json"), "w") as fh:
+        json.dump(cfg, fh)
+    return d
+
+
+def build(config_dict, num_items=2000):
+    from mhrec_tpu.config import Config
+    from mhrec_tpu.data import InteractionData, build_dataloader
+    from mhrec_tpu.data.synthetic import generate_synthetic_dataset
+    from mhrec_tpu.trainer import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="mhrec_proto_")
+    meta = generate_synthetic_dataset(
+        tmp, num_users=1024, num_items=num_items, seed=0, text_words=256
+    )
+    base = dict(
+        data_path=tmp, dataset=meta["name"], text_path=meta["text_path"],
+        MAX_ITEM_LIST_LENGTH=10, MAX_TEXT_LENGTH=256,
+        train_batch_size=16, num_negatives=512,
+        gradient_checkpointing=True,
+        tag_version="v1", eval_pred_len=1, pred_len=1, topk=[5, 10],
+        total_iters=100, seed=2020, nce_thres=0.99,
+    )
+    base.update(config_dict)
+    config = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=base,
+    ).finalize()
+    data = InteractionData(config).build()
+    train, _, _ = build_dataloader(config, data)
+    trainer = Trainer(config, data)
+    trainer.setup_model()
+    return config, data, train, trainer
+
+
+def n_params(tree):
+    import jax
+    return sum(x.size for x in jax.tree.leaves(tree))
+
+
+def bench_corpus(layers):
+    """Item-tower corpus pass at 1.1B/256tok: items/s + model FLOPs/s."""
+    import jax
+
+    t_dir = tower_dir(n_layers=layers)
+    num_items = 2000
+    config, data, train, trainer = build(
+        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
+             item_llm_init=False, user_llm_init=False, dummy_llm=False),
+        num_items=num_items,
+    )
+    p_item = n_params(trainer.state.params["item_llm"])
+    t0 = time.time()
+    table = trainer.compute_item_feature()          # cold: tokenize+compile
+    jax.block_until_ready(table)
+    cold = time.time() - t0
+    t0 = time.time()
+    table = trainer.compute_item_feature()
+    jax.block_until_ready(table)
+    warm = time.time() - t0
+    items_s = (num_items + 1) / warm
+    flops = 2.0 * p_item * 256 * items_s            # fwd-only 2*P per token
+    return {
+        "metric": f"hllm_corpus_pass_{layers}L2048d_{p_item/1e9:.2f}B_txt256",
+        "value": round(items_s, 1), "unit": "items/s/chip",
+        "cold_s": round(cold, 1), "warm_s": round(warm, 1),
+        "model_tflops_s": round(flops / 1e12, 1),
+    }
+
+
+def _time_train(trainer, train, steps=12):
+    import jax
+    import jax.numpy as jnp
+    from mhrec_tpu.parallel.mesh import shard_batch
+
+    b0 = next(iter(train.epoch_batches(0)))
+    one = {k: jnp.asarray(v) for k, v in b0.items()}
+    checksum = jax.jit(lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p)))
+
+    def run(n):
+        t0 = time.time()
+        for _ in range(n):
+            batch = shard_batch(trainer.mesh, dict(one))
+            trainer.state, out = trainer._jit_train_step(trainer.state, batch)
+        float(checksum(trainer.state.params))
+        return time.time() - t0
+
+    for _ in range(3):
+        batch = shard_batch(trainer.mesh, dict(one))
+        trainer.state, out = trainer._jit_train_step(trainer.state, batch)
+    float(checksum(trainer.state.params))
+    t_short = run(4)
+    t_long = run(steps)
+    return (t_long - t_short) / (steps - 4) * 1000.0
+
+
+def bench_freeze(layers):
+    """freeze_item_llm train step: 1.1B user tower over the item table."""
+    import numpy as np
+
+    t_dir = tower_dir(n_layers=layers)
+    num_items = 2000
+    # precomputed table: the frozen-mode contract (hllm.py:344-346)
+    tmp_table = os.path.join(tempfile.mkdtemp(), "table.npy")
+    np.save(tmp_table, np.random.default_rng(0)
+            .normal(size=(num_items + 1, 2048)).astype(np.float32))
+    config, data, train, trainer = build(
+        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
+             item_llm_init=False, user_llm_init=False, dummy_llm=False,
+             freeze_item_llm=True, all_item_embeds_path=tmp_table,
+             adam_mu_dtype="bfloat16"),
+        num_items=num_items,
+    )
+    p_user = n_params(trainer.state.params["user_llm"])
+    step_ms = _time_train(trainer, train)
+    return {
+        "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs16_neg512",
+        "step_ms": round(step_ms, 1),
+        "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
+    }
+
+
+def bench_pair(layers):
+    """Full two-tower packed train step at 256 tokens."""
+    t_dir = tower_dir(n_layers=layers)
+    config, data, train, trainer = build(
+        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
+             item_llm_init=False, user_llm_init=False, dummy_llm=False,
+             packed_item_tower=True, adam_mu_dtype="bfloat16"),
+    )
+    p_all = n_params(trainer.state.params)
+    step_ms = _time_train(trainer, train, steps=8)
+    return {
+        "metric": f"hllm_train_pair_{layers}L2048d_{p_all/1e9:.2f}B-total_seq10_txt256_bs16_neg512_packed",
+        "step_ms": round(step_ms, 1),
+        "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
+    }
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "all"
+    layers = int(sys.argv[sys.argv.index("--layers") + 1]) if "--layers" in sys.argv else None
+    jobs = {
+        "corpus": (bench_corpus, 22),
+        "freeze": (bench_freeze, 22),
+        "pair": (bench_pair, 12),
+    }
+    for name, (fn, default_layers) in jobs.items():
+        if which not in ("all", name):
+            continue
+        try:
+            print(json.dumps(fn(layers or default_layers)), flush=True)
+        except Exception as e:
+            print(json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
