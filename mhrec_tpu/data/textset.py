@@ -102,7 +102,7 @@ class ItemTextCache:
 
     def __init__(self, dataload, tokenizer, text_keys, item_prompt: str,
                  max_text_length: int, image_prefix: Optional[np.ndarray] = None,
-                 n_emb: int = 1):
+                 n_emb: int = 1, image_store=None):
         self.dataload = dataload
         self.tokenizer = tokenizer
         self.text_keys = list(text_keys or ["title", "tag", "description"])
@@ -110,6 +110,12 @@ class ItemTextCache:
         self.max_text_length = max_text_length
         self.n_emb = max(int(n_emb), 1)  # columns reserved for emb slots
         self.image_prefix = image_prefix
+        # dynamic-resolution mode: per-item prefixes [vs][ip × n_i][ve]
+        self.image_store = image_store if (
+            image_store is not None and getattr(image_store, "dynamic", False)
+        ) else None
+        if self.image_store is not None:
+            self._img_ids = image_special_ids(tokenizer)
         if image_prefix is not None:
             assert len(image_prefix) < max_text_length, (
                 "MAX_TEXT_LENGTH too small for the image-pad span; raise it "
@@ -130,13 +136,18 @@ class ItemTextCache:
     def tokens(self, item_id: int) -> np.ndarray:
         arr = self._cache.get(item_id)
         if arr is None:
+            prefix = self.image_prefix
+            if self.image_store is not None:
+                vs, ip, ve = self._img_ids
+                n_i = self.image_store.n_tokens(item_id)
+                prefix = np.asarray([vs] + [ip] * n_i + [ve], np.int32)
             budget = self.max_text_length
-            if self.image_prefix is not None:
-                budget -= len(self.image_prefix)
+            if prefix is not None:
+                budget -= len(prefix)
             ids = self.tokenizer.encode(self.render(item_id), budget)
             arr = np.asarray(ids[:budget], dtype=np.int32)
-            if self.image_prefix is not None:
-                arr = np.concatenate([self.image_prefix, arr])
+            if prefix is not None:
+                arr = np.concatenate([prefix, arr])
             self._cache[item_id] = arr
         return arr
 
@@ -153,34 +164,96 @@ class ItemTextCache:
         return out, lens
 
 
-def build_image_prefix(tokenizer, n_tokens: int) -> np.ndarray:
-    """``[vision_start][image_pad × n][vision_end]`` token ids (the fixed
-    span the vision tower splices over; reference chat-template layout)."""
-    ids = None
+def image_special_ids(tokenizer):
+    """(vision_start, image_pad, vision_end) token ids."""
     tok = getattr(tokenizer, "tok", None)
     if tok is not None:
         try:
             trip = [tok.convert_tokens_to_ids(t) for t in
                     ("<|vision_start|>", "<|image_pad|>", "<|vision_end|>")]
             if all(isinstance(x, int) and x >= 0 for x in trip):
-                ids = trip
+                return tuple(trip)
         except Exception:
             pass
-    if ids is None:  # hash tokenizer: reserve the top of the vocab
-        V = tokenizer.vocab_size
-        ids = [V - 3, V - 2, V - 1]
-    vs, ip, ve = ids
+    V = tokenizer.vocab_size  # hash tokenizer: reserve the top of the vocab
+    return (V - 3, V - 2, V - 1)
+
+
+def build_image_prefix(tokenizer, n_tokens: int) -> np.ndarray:
+    """``[vision_start][image_pad × n][vision_end]`` token ids (the fixed
+    span the vision tower splices over; reference chat-template layout)."""
+    vs, ip, ve = image_special_ids(tokenizer)
     return np.asarray([vs] + [ip] * n_tokens + [ve], np.int32)
 
 
 def _setup_image_store(config, dataload, tokenizer):
-    """→ (ItemImageStore | None, image_prefix | None)."""
+    """→ (ItemImageStore | None, image_prefix | None). Dynamic-resolution
+    mode returns prefix=None — per-item spans are built by ItemTextCache
+    from the store's per-item token counts."""
     if not config.get("use_image", False):
         return None, None
     from mhrec_tpu.data.vision import ItemImageStore
 
     store = ItemImageStore(config, dataload)
+    if store.dynamic:
+        return store, None
     return store, build_image_prefix(tokenizer, store.prep.n_tokens)
+
+
+def dynamic_image_arrays(ids, text_cache, image_store, token_width: int):
+    """Host-side dynamic-image maps for a batch of item ids.
+
+    Everything shape-dependent is resolved HERE so the device program is
+    static (reference counterpart: the varlen vision path + per-image
+    ``get_rope_index`` in modeling_qwen2_vl.py):
+
+      img_src [N, T]    j if position holds this item's j-th image token,
+                        else -1 — the gather-splice map consumed by the
+                        backbone (replaces the static image_span scatter)
+      img_pos [N, 3, T] full (t, h, w) M-RoPE positions per row
+      + the DynamicImagePreprocessor capacity arrays (patches/valid/hw).
+    """
+    out = image_store.dynamic_batch(ids)
+    dyn = image_store.dyn
+    m = dyn.merge_size
+    N, T = len(ids), token_width
+    img_src = np.full((N, T), -1, np.int32)
+    img_pos = np.broadcast_to(
+        np.arange(T, dtype=np.int32), (N, 3, T)
+    ).copy()
+    s = 1  # span start: position 0 is vision_start
+    for row in range(N):
+        n = int(out["n_tokens"][row])
+        # post-merger token grid for this item (hw rows are patch-level)
+        gw_m = (int(out["hw"][row, :, 1].max()) + 1) // m if n else 1
+        hm = n // max(gw_m, 1)
+        j = np.arange(n, dtype=np.int32)
+        img_src[row, s:s + n] = j
+        img_pos[row, 0, s:s + n] = s
+        img_pos[row, 1, s:s + n] = s + j // max(gw_m, 1)
+        img_pos[row, 2, s:s + n] = s + j % max(gw_m, 1)
+        tail = T - (s + n)
+        img_pos[row, :, s + n:] = s + max(hm, gw_m) + np.arange(tail, dtype=np.int32)
+    out["img_src"] = img_src
+    out["img_pos"] = img_pos
+    del out["n_tokens"]
+    return out
+
+
+def _emit_image_keys(batch, prefix, ids, tokens, image_store, text_cache):
+    """Attach image arrays for one item group; dynamic mode adds the
+    validity/position/gather-map keys alongside the patch tensor."""
+    p = f"{prefix}_" if prefix else ""
+    if image_store.dynamic:
+        arrs = dynamic_image_arrays(ids, text_cache, image_store,
+                                    tokens.shape[1])
+        batch[f"{p}pixel_patches"] = arrs["patches"]
+        batch[f"{p}patch_valid"] = arrs["valid"]
+        batch[f"{p}patch_hw"] = arrs["hw"]
+        batch[f"{p}img_src"] = arrs["img_src"]
+        batch[f"{p}img_pos"] = arrs["img_pos"]
+    else:
+        batch[f"{p}pixel_patches"] = image_store.batch(ids)
 
 
 class TextSEQTrainBatcher(SEQTrainBatcher):
@@ -216,6 +289,7 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
             self.max_text_length, image_prefix=image_prefix, n_emb=self.n_emb,
+            image_store=self.image_store,
         )
 
     def make_batch(self, rng, loc_idx):
@@ -241,7 +315,8 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
                 batch["uniq_tokens"], batch["uniq_token_lens"] = tokens, lens
                 batch["uniq_inverse"] = inv.astype(np.int32)
                 if self.image_store is not None:
-                    batch["uniq_pixel_patches"] = self.image_store.batch(uniq_p)
+                    _emit_image_keys(batch, "uniq", uniq_p, tokens,
+                                     self.image_store, self.text_cache)
                 return batch
         pos_tokens, pos_lens = self.text_cache.batch(batch["items"].ravel())
         neg_tokens, neg_lens = self.text_cache.batch(batch["neg_items"].ravel())
@@ -257,12 +332,10 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
             batch["neg_tokens"], batch["neg_token_lens"] = neg_tokens, neg_lens
             if self.image_store is not None:
-                batch["pos_pixel_patches"] = self.image_store.batch(
-                    batch["items"].ravel()
-                )
-                batch["neg_pixel_patches"] = self.image_store.batch(
-                    batch["neg_items"].ravel()
-                )
+                _emit_image_keys(batch, "pos", batch["items"].ravel(),
+                                 pos_tokens, self.image_store, self.text_cache)
+                _emit_image_keys(batch, "neg", batch["neg_items"].ravel(),
+                                 neg_tokens, self.image_store, self.text_cache)
         return batch
 
 
@@ -283,6 +356,7 @@ class BatchTextBatcher:
         self.text_cache = ItemTextCache(
             dataload, tokenizer, config["text_keys"], config.get("item_prompt", ""),
             self.max_text_length, image_prefix=image_prefix, n_emb=self.n_emb,
+            image_store=self.image_store,
         )
         self.batch_size = batch_size or (
             config["MAX_ITEM_LIST_LENGTH"] * config["train_batch_size"]
@@ -318,5 +392,6 @@ class BatchTextBatcher:
                 out["tokens"] = tokens
                 out["lens"] = lens
                 if self.image_store is not None:
-                    out["pixel_patches"] = self.image_store.batch(ids)
+                    _emit_image_keys(out, "", ids, tokens,
+                                     self.image_store, self.text_cache)
             yield out

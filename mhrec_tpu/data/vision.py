@@ -150,6 +150,144 @@ class ImagePreprocessor:
         return out
 
 
+def smart_resize(height: int, width: int, factor: int = 28,
+                 min_pixels: int = 4 * 28 * 28,
+                 max_pixels: int = 16384 * 28 * 28):
+    """Qwen2-VL dynamic-resolution target (reference qwen_vl_utils.py:53-79):
+    both dims divisible by ``factor``, pixel count within
+    [min_pixels, max_pixels], aspect ratio preserved as closely as possible.
+    """
+    import math
+
+    if max(height, width) / max(min(height, width), 1) > 200:
+        # degenerate aspect: treat like the reference's failure fallback
+        height = width = max(factor, min(height, width))
+    h_bar = max(factor, round(height / factor) * factor)
+    w_bar = max(factor, round(width / factor) * factor)
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+class DynamicImagePreprocessor:
+    """Per-image smart-resize grids with STATIC device shapes.
+
+    TPU-first version of the reference's dynamic-resolution Qwen2-VL path
+    (qwen_vl_utils.py smart_resize + the varlen vision flash-attention in
+    modeling_qwen2_vl.py): every host-side decision that depends on the
+    image's native size — the target grid, the RoPE (h, w) position of each
+    patch, which patch slots are real — is precomputed here into
+    fixed-capacity arrays, so the device program stays one static-shape XLA
+    computation:
+
+      patches  [P_cap, patch_dim]  zero-padded, whole merge-blocks only
+      valid    [P_cap]             patch validity mask (vision attention mask)
+      hw       [P_cap, 2]          per-patch (h, w) RoPE positions
+      n_tokens                     post-merger image-token count (gh·gw/m²)
+
+    ``P_cap = max_pixels / patch_size²`` bounds capacity; real patch counts
+    vary per image underneath it.
+    """
+
+    def __init__(self, patch_size: int = 14, temporal_patch_size: int = 2,
+                 spatial_merge_size: int = 2,
+                 min_pixels: int = 4 * 28 * 28,
+                 max_pixels: int = 256 * 28 * 28):
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge_size = spatial_merge_size
+        self.factor = patch_size * spatial_merge_size
+        self.min_pixels = int(min_pixels)
+        self.max_pixels = int(max_pixels)
+        # capacity in whole merge blocks (the merger reshape needs it)
+        self.token_cap = self.max_pixels // self.factor ** 2
+        self.patch_cap = self.token_cap * spatial_merge_size ** 2
+        self.patch_dim = 3 * temporal_patch_size * patch_size ** 2
+        # missing/broken images fall back to a small black square
+        # (reference trainset.py:441-442) at the min grid
+        side = max(self.factor, int((self.min_pixels ** 0.5) // self.factor)
+                   * self.factor)
+        self.default_grid = (side // patch_size, side // patch_size)
+
+    def grid_for_size(self, width: int, height: int):
+        h, w = smart_resize(height, width, self.factor,
+                            self.min_pixels, self.max_pixels)
+        return h // self.patch_size, w // self.patch_size
+
+    def grid_for_path(self, path: Optional[str]):
+        """Image grid from the file header only (PIL lazy open)."""
+        if not path or not os.path.isfile(path):
+            return self.default_grid
+        try:
+            from PIL import Image
+
+            with Image.open(path) as img:
+                return self.grid_for_size(*img.size)
+        except Exception:
+            return self.default_grid
+
+    def _positions(self, gh: int, gw: int) -> np.ndarray:
+        """[gh·gw, 2] (h, w) positions in merge-block patch order."""
+        m = self.merge_size
+        shape = (gh // m, gw // m, m, m)
+        hb = np.arange(gh).reshape(gh // m, 1, m, 1)
+        wb = np.arange(gw).reshape(1, gw // m, 1, m)
+        return np.stack([
+            np.broadcast_to(hb, shape).ravel(),
+            np.broadcast_to(wb, shape).ravel(),
+        ], axis=-1).astype(np.int32)
+
+    def _patchify(self, chw: np.ndarray, gh: int, gw: int) -> np.ndarray:
+        ps, m, tps = self.patch_size, self.merge_size, self.temporal_patch_size
+        H, W = gh * ps, gw * ps
+        x = np.broadcast_to(chw[None], (tps, 3, H, W))
+        x = x.reshape(1, tps, 3, gh // m, m, ps, gw // m, m, ps)
+        x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        return np.ascontiguousarray(x.reshape(gh * gw, self.patch_dim))
+
+    def load(self, path: Optional[str]):
+        """→ (patches [P_cap, dim] f32, valid [P_cap] bool, hw [P_cap, 2],
+        n_tokens int). Black fallback on missing/broken files."""
+        gh, gw = self.default_grid
+        chw = None
+        if path and os.path.isfile(path):
+            try:
+                from PIL import Image
+
+                with Image.open(path) as img:
+                    gh, gw = self.grid_for_size(*img.size)
+                    arr = np.asarray(
+                        img.convert("RGB").resize(
+                            (gw * self.patch_size, gh * self.patch_size)
+                        ), np.float32,
+                    ) / 255.0
+                chw = np.ascontiguousarray(
+                    ((arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD).transpose(2, 0, 1)
+                )
+            except Exception:
+                gh, gw = self.default_grid
+                chw = None
+        if chw is None:
+            chw = np.broadcast_to(
+                ((0.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD)[:, None, None],
+                (3, gh * self.patch_size, gw * self.patch_size),
+            ).astype(np.float32)
+        n = gh * gw
+        patches = np.zeros((self.patch_cap, self.patch_dim), np.float32)
+        patches[:n] = self._patchify(chw, gh, gw)
+        valid = np.zeros(self.patch_cap, bool)
+        valid[:n] = True
+        hw = np.zeros((self.patch_cap, 2), np.int32)
+        hw[:n] = self._positions(gh, gw)
+        return patches, valid, hw, n // self.merge_size ** 2
+
+
 def resolve_patch_geometry(config):
     """(patch_size, temporal_patch_size, merge) — must match the model-side
     VisionConfig (from the item checkpoint dir, else the tiny default)."""
@@ -174,6 +312,22 @@ class ItemImageStore:
     def __init__(self, config, dataload):
         ps, tps, merge = resolve_patch_geometry(config)
         anyres = config.get("anyres_grid") or None
+        self.dynamic = bool(config.get("dynamic_image_res", False))
+        if self.dynamic:
+            # image-token capacity must leave text room: cap max_pixels so
+            # the largest image span (+2 delimiters) fits MAX_TEXT_LENGTH
+            T = int(config.get("MAX_TEXT_LENGTH", 64))
+            budget_px = max(1, (T - 8)) * (ps * merge) ** 2
+            self.dyn = DynamicImagePreprocessor(
+                patch_size=ps, temporal_patch_size=tps,
+                spatial_merge_size=merge,
+                min_pixels=int(config.get("image_min_pixels", 4 * 28 * 28)),
+                max_pixels=min(
+                    int(config.get("image_max_pixels", 256 * 28 * 28)),
+                    budget_px,
+                ),
+            )
+            self._grids: Dict[int, tuple] = {}
         self.prep = ImagePreprocessor(
             int(config.get("img_height", 224)), int(config.get("img_width", 224)),
             patch_size=ps, temporal_patch_size=tps, spatial_merge_size=merge,
@@ -217,6 +371,36 @@ class ItemImageStore:
             p = cand if os.path.isfile(cand) else None
         self._paths[item_id] = p
         return p
+
+    def n_tokens(self, item_id: int) -> int:
+        """Dynamic mode: post-merger image-token count for this item (from
+        the file header only; cached)."""
+        g = self._grids.get(item_id)
+        if g is None:
+            g = self.dyn.grid_for_path(self.path(int(item_id)))
+            self._grids[item_id] = g
+        return (g[0] * g[1]) // self.dyn.merge_size ** 2
+
+    def dynamic_batch(self, item_ids) -> Dict[str, np.ndarray]:
+        """Dynamic mode: → dict of fixed-capacity arrays (see
+        DynamicImagePreprocessor.load). Cached per item like ``batch``."""
+        ids = [int(i) for i in item_ids]
+        N, P = len(ids), self.dyn.patch_cap
+        patches = np.zeros((N, P, self.dyn.patch_dim), np.float32)
+        valid = np.zeros((N, P), bool)
+        hw = np.zeros((N, P, 2), np.int32)
+        ntok = np.zeros(N, np.int32)
+        for row, iid in enumerate(ids):
+            hit = self._patch_cache.get(iid)
+            if hit is None:
+                hit = self.dyn.load(self.path(iid))
+                self._patch_cache[iid] = hit
+                if len(self._patch_cache) > self._cache_cap:
+                    self._patch_cache.popitem(last=False)
+            else:
+                self._patch_cache.move_to_end(iid)
+            patches[row], valid[row], hw[row], ntok[row] = hit
+        return {"patches": patches, "valid": valid, "hw": hw, "n_tokens": ntok}
 
     def batch(self, item_ids) -> np.ndarray:
         ids = [int(i) for i in item_ids]

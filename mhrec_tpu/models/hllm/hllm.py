@@ -43,6 +43,20 @@ from mhrec_tpu.models.multihead import (
 from mhrec_tpu.utils.enums import InputType
 
 
+def _batch_image_extra(batch: Dict[str, jnp.ndarray], prefix: str):
+    """Collect the dynamic-resolution image arrays for one item group
+    (emitted by data/textset.py ``_emit_image_keys``), or None."""
+    src = batch.get(f"{prefix}_img_src")
+    if src is None:
+        return None
+    return {
+        "patch_valid": batch[f"{prefix}_patch_valid"],
+        "patch_hw": batch[f"{prefix}_patch_hw"],
+        "img_src": src,
+        "img_pos": batch[f"{prefix}_img_pos"],
+    }
+
+
 class HLLM(nn.Module):
     item_config: LLMConfig
     user_config: LLMConfig
@@ -267,11 +281,31 @@ class HLLM(nn.Module):
         pos[:, s + n:] = s + max(hm, wm) + np.arange(T - s - n, dtype=np.int32)
         return pos
 
-    def _image_kwargs(self, tokens, pixel_patches):
-        """Vision-tower call + backbone splice/position kwargs."""
+    def _image_kwargs(self, tokens, pixel_patches, image_extra=None):
+        """Vision-tower call + backbone splice/position kwargs.
+
+        ``image_extra`` (dynamic smart-resize mode, data/textset.py
+        ``dynamic_image_arrays``): {patch_valid, patch_hw, img_src,
+        img_pos} — per-image grids with static capacity."""
         if pixel_patches is None or self.dummy_llm or self.freeze_item_llm:
             return {}
         N, T = tokens.shape
+        if image_extra and image_extra.get("img_src") is not None:
+            img_tokens = self.visual(
+                pixel_patches,
+                patch_valid=image_extra["patch_valid"],
+                patch_hw=image_extra["patch_hw"],
+            )                                               # [N, T_img_cap, D]
+            extra = {
+                "image_embeds": img_tokens,
+                "image_src": image_extra["img_src"],
+            }
+            if self.item_config.mrope_section:
+                # host-computed per-item (t, h, w) positions [N, 3, T]
+                extra["position_ids"] = jnp.transpose(
+                    image_extra["img_pos"], (1, 0, 2)
+                )
+            return extra
         img_tokens = self.visual(pixel_patches)             # [N, n_img, D]
         extra = {
             "image_embeds": img_tokens,
@@ -285,11 +319,12 @@ class HLLM(nn.Module):
         return extra
 
     def encode_items(self, tokens: jnp.ndarray, lens: jnp.ndarray,
-                     pixel_patches: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     pixel_patches: Optional[jnp.ndarray] = None,
+                     image_extra=None) -> jnp.ndarray:
         """Item tower: padded token batch [N, T+1] → [N, D_item]."""
         N, T = tokens.shape
         col = jnp.arange(T)[None, :]
-        extra = self._image_kwargs(tokens, pixel_patches)
+        extra = self._image_kwargs(tokens, pixel_patches, image_extra)
         if self.item_emb_token_n > 0 and not self.dummy_llm:
             n_emb = self.item_emb_token_n
             # include the n trailing emb slots; the embedding is read from
@@ -332,9 +367,10 @@ class HLLM(nn.Module):
         )[0]  # [S, D]
         return hidden[emb_slots + (self.item_emb_token_n - 1)].astype(jnp.float32)
 
-    def compute_item_chunk(self, tokens, lens, pixel_patches=None):
+    def compute_item_chunk(self, tokens, lens, pixel_patches=None,
+                           image_extra=None):
         """Corpus-embedding pass chunk (reference compute_item)."""
-        return self.encode_items(tokens, lens, pixel_patches)
+        return self.encode_items(tokens, lens, pixel_patches, image_extra)
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = False):
@@ -370,6 +406,7 @@ class HLLM(nn.Module):
             uniq_embs = self.encode_items(
                 batch["uniq_tokens"], batch["uniq_token_lens"],
                 batch.get("uniq_pixel_patches"),
+                image_extra=_batch_image_extra(batch, "uniq"),
             )
             all_embs = uniq_embs[batch["uniq_inverse"]]
             n_pos = B * W
@@ -387,11 +424,13 @@ class HLLM(nn.Module):
             pos_items_embs = self.encode_items(
                 batch["pos_tokens"], batch["pos_token_lens"],
                 batch.get("pos_pixel_patches"),
+                image_extra=_batch_image_extra(batch, "pos"),
             ).reshape(B, W, -1)                              # [B, L+P, D]
             n_cats = batch["neg_items"].shape[1]
             neg_embs = self.encode_items(
                 batch["neg_tokens"], batch["neg_token_lens"],
                 batch.get("neg_pixel_patches"),
+                image_extra=_batch_image_extra(batch, "neg"),
             ).reshape(B, n_cats, -1, pos_items_embs.shape[-1])
 
             def _neg_norm(col):

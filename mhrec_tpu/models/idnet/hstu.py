@@ -74,7 +74,17 @@ class STULayer(nn.Module):
             and (dv * h) % 128 == 0
             and (dqk * h) % 128 == 0
         )
-        if self.attn_impl == "fused" and fused_ok:
+        # measured end-to-end on v5e (tools/bench_fused.py, ms/step):
+        #   merrec L=400: XLA 30.6 · pallas-v2 32.3 · fused 26.2  (−14%)
+        #   size4  L=50:  XLA 28.9 · fused 35.4                  (+23%)
+        # 'auto' therefore picks the fused kernel on real TPU at L≥256 and
+        # stays on XLA below (short L: XLA's cross-op fusion beats the
+        # kernel's per-q-tile K/V residency).
+        impl = self.attn_impl
+        if impl == "auto" and fused_ok and L >= 256 \
+                and jax.devices()[0].platform == "tpu":
+            impl = "fused"
+        if impl == "fused" and fused_ok:
             from mhrec_tpu.ops.pallas.hstu_attention_tpu import (
                 hstu_attention_gated_pallas,
             )
@@ -100,7 +110,7 @@ class STULayer(nn.Module):
             q = q.reshape(B, L, h, dqk)
             k = k.reshape(B, L, h, dqk)
             v = v.reshape(B, L, h, dv)
-            attn = hstu_attention(q, k, v, attn_mask, impl=self.attn_impl, bias=attn_bias)
+            attn = hstu_attention(q, k, v, attn_mask, impl=impl, bias=attn_bias)
             attn = attn.reshape(B, L, h * dv)
             gated = u * nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="attn_norm")(attn)
         gated = nn.Dropout(self.dropout_ratio)(gated, deterministic=deterministic)

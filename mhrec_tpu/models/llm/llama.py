@@ -203,6 +203,7 @@ class LlamaBackbone(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,  # [S] packed varlen mode
         image_embeds: Optional[jnp.ndarray] = None,  # [B, n_img, D]
         image_span: Optional[tuple] = None,          # static (start, n_img)
+        image_src: Optional[jnp.ndarray] = None,     # [B, T] dynamic gather map
     ) -> jnp.ndarray:
         c = self.config
         if inputs_embeds is None:
@@ -213,7 +214,19 @@ class LlamaBackbone(nn.Module):
                 name="embed_tokens",
             )
             inputs_embeds = embed(input_ids)
-        if image_embeds is not None:
+        if image_embeds is not None and image_src is not None:
+            # dynamic-resolution splice (reference modeling_qwen2_vl.py:1858
+            # masked_scatter with per-image token counts): image_src[b, t] =
+            # index of the image token at position t, or -1 — one gather,
+            # no data-dependent shapes
+            take = jnp.take_along_axis(
+                image_embeds, jnp.clip(image_src, 0)[..., None], axis=1
+            )
+            inputs_embeds = jnp.where(
+                (image_src >= 0)[..., None],
+                take.astype(inputs_embeds.dtype), inputs_embeds,
+            )
+        elif image_embeds is not None:
             # splice vision-tower tokens over the image-pad span (reference
             # modeling_qwen2_vl.py:1858 masked_scatter; static span here)
             s, n = image_span

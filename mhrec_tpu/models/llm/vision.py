@@ -157,11 +157,32 @@ def _rotate_half(x):
 
 
 def _apply_vision_rope(x, cos, sin):
-    """x [N, P, H, Dh]; cos/sin [P, Dh]."""
-    c = cos[None, :, None, :].astype(jnp.float32)
-    s = sin[None, :, None, :].astype(jnp.float32)
+    """x [N, P, H, Dh]; cos/sin [P, Dh] (static grid) or [N, P, Dh]
+    (dynamic per-image grids)."""
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
     xf = x.astype(jnp.float32)
     return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+
+
+def vision_rotary_from_hw(patch_hw: jnp.ndarray, head_dim: int,
+                          theta: float = 10000.0):
+    """Per-image RoPE tables from host-computed patch positions.
+
+    patch_hw [N, P, 2] int32 (h, w per patch — the dynamic smart-resize
+    path, data/vision.py DynamicImagePreprocessor) → cos/sin [N, P, Dh].
+    Same math as :func:`vision_rotary_tables` with positions supplied
+    instead of derived from a static grid.
+    """
+    dim = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freq_h = patch_hw[..., 0:1].astype(jnp.float32) * inv_freq[None, None, :]
+    freq_w = patch_hw[..., 1:2].astype(jnp.float32) * inv_freq[None, None, :]
+    freqs = jnp.concatenate([freq_h, freq_w], axis=-1)   # [N, P, Dh//2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)       # [N, P, Dh]
+    return jnp.cos(emb), jnp.sin(emb)
 
 
 class VisionBlock(nn.Module):
@@ -169,7 +190,7 @@ class VisionBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cos, sin):
+    def __call__(self, x, cos, sin, valid=None):
         c = self.config
         D, H = c.embed_dim, c.num_heads
         dh = c.head_dim
@@ -181,6 +202,10 @@ class VisionBlock(nn.Module):
         k = _apply_vision_rope(k.squeeze(2), cos, sin)
         v = v.squeeze(2)
         scores = jnp.einsum("nphd,nqhd->nhpq", q, k) / np.sqrt(dh)
+        if valid is not None:  # dynamic grids: mask padded patch keys
+            scores = jnp.where(
+                valid[:, None, None, :], scores, jnp.finfo(scores.dtype).min
+            )
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         ctx = jnp.einsum("nhpq,nqhd->nphd", probs, v).reshape(N, P, D)
         x = x + nn.Dense(D, use_bias=True, dtype=self.dtype, name="proj")(ctx)
@@ -203,18 +228,29 @@ class VisionTower(nn.Module):
     gradient_checkpointing: bool = False
 
     @nn.compact
-    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, patches: jnp.ndarray, patch_valid=None,
+                 patch_hw=None) -> jnp.ndarray:
+        """Static grid: rope from (grid_h, grid_w). Dynamic smart-resize
+        mode (patch_valid/patch_hw given): per-image rope positions +
+        masked attention over the padded patch capacity; padded merge
+        blocks yield junk tokens that the backbone's gather-splice never
+        reads (data/textset.py dynamic_image_arrays)."""
         c = self.config
         m = c.spatial_merge_size
         x = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
                      name="patch_embed")(patches.astype(self.dtype))
-        cos, sin = vision_rotary_tables(self.grid_h, self.grid_w, m, c.head_dim)
-        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        if patch_hw is not None:
+            cos, sin = vision_rotary_from_hw(patch_hw, c.head_dim)
+        else:
+            cos, sin = vision_rotary_tables(self.grid_h, self.grid_w, m, c.head_dim)
+            cos, sin = jnp.asarray(cos), jnp.asarray(sin)
         block_cls = VisionBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(VisionBlock)
         for i in range(c.depth):
-            x = block_cls(c, self.dtype, name=f"blocks_{i}")(x, cos, sin)
+            x = block_cls(c, self.dtype, name=f"blocks_{i}")(
+                x, cos, sin, patch_valid
+            )
         # PatchMerger (reference modeling_qwen2_vl.py:1089): LN then merge
         # each 2×2 group (consecutive in patch order) into one token.
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_q")(x)

@@ -363,15 +363,41 @@ class Trainer:
                     from mhrec_tpu.data.vision import resolve_patch_geometry
 
                     ps, tps, _m = resolve_patch_geometry(c)
-                    gh = int(c.get("img_height", 224)) // ps
-                    gw = int(c.get("img_width", 224)) // ps
-                    pd = 3 * tps * ps * ps
-                    batch["pos_pixel_patches"] = jnp.zeros(
-                        (B * (L + P), gh * gw, pd), jnp.float32
-                    )
-                    batch["neg_pixel_patches"] = jnp.zeros(
-                        (B * n_cats * K, gh * gw, pd), jnp.float32
-                    )
+                    if c.get("dynamic_image_res", False):
+                        from mhrec_tpu.data.vision import DynamicImagePreprocessor
+
+                        dyn = DynamicImagePreprocessor(
+                            patch_size=ps, temporal_patch_size=tps,
+                            spatial_merge_size=_m,
+                            min_pixels=int(c.get("image_min_pixels", 4 * 28 * 28)),
+                            max_pixels=min(
+                                int(c.get("image_max_pixels", 256 * 28 * 28)),
+                                max(1, (int(c.get("MAX_TEXT_LENGTH", 64)) - 8))
+                                * (ps * _m) ** 2,
+                            ),
+                        )
+                        for pref, n in (("pos", B * (L + P)),
+                                        ("neg", B * n_cats * K)):
+                            batch[f"{pref}_pixel_patches"] = jnp.zeros(
+                                (n, dyn.patch_cap, dyn.patch_dim), jnp.float32)
+                            batch[f"{pref}_patch_valid"] = jnp.zeros(
+                                (n, dyn.patch_cap), bool)
+                            batch[f"{pref}_patch_hw"] = jnp.zeros(
+                                (n, dyn.patch_cap, 2), jnp.int32)
+                            batch[f"{pref}_img_src"] = jnp.full(
+                                (n, T), -1, jnp.int32)
+                            batch[f"{pref}_img_pos"] = jnp.zeros(
+                                (n, 3, T), jnp.int32)
+                    else:
+                        gh = int(c.get("img_height", 224)) // ps
+                        gw = int(c.get("img_width", 224)) // ps
+                        pd = 3 * tps * ps * ps
+                        batch["pos_pixel_patches"] = jnp.zeros(
+                            (B * (L + P), gh * gw, pd), jnp.float32
+                        )
+                        batch["neg_pixel_patches"] = jnp.zeros(
+                            (B * n_cats * K, gh * gw, pd), jnp.float32
+                        )
         return batch
 
     def _build_train_step(self):
@@ -665,8 +691,9 @@ class Trainer:
             corpus = self._corpus_batcher
             if not hasattr(self, "_item_chunk_fn") or self._item_chunk_fn is None:
                 self._item_chunk_fn = jax.jit(
-                    lambda p, tok, lens, px: self.model.apply(
+                    lambda p, tok, lens, px, extra=None: self.model.apply(
                         {"params": p, **self.extra_vars}, tok, lens, px,
+                        extra,
                         method="compute_item_chunk",
                     ),
                     static_argnums=(),
@@ -696,6 +723,9 @@ class Trainer:
                     )
                 else:
                     px = cb.get("pixel_patches")
+                    extra_keys = ("patch_valid", "patch_hw", "img_src", "img_pos")
+                    extra = ({k: cb[k] for k in extra_keys}
+                             if "img_src" in cb else None)
                     if self.num_processes > 1:
                         from mhrec_tpu.parallel.mesh import shard_identical
 
@@ -703,11 +733,17 @@ class Trainer:
                         lens = shard_identical(self.mesh, cb["lens"])
                         pxd = (shard_identical(self.mesh, px)
                                if px is not None else None)
+                        if extra is not None:
+                            extra = {k: shard_identical(self.mesh, v)
+                                     for k, v in extra.items()}
                     else:
                         tok = jnp.asarray(cb["tokens"])
                         lens = jnp.asarray(cb["lens"])
                         pxd = jnp.asarray(px) if px is not None else None
-                    emb = self._item_chunk_fn(self.state.params, tok, lens, pxd)
+                        if extra is not None:
+                            extra = {k: jnp.asarray(v) for k, v in extra.items()}
+                    emb = self._item_chunk_fn(self.state.params, tok, lens, pxd,
+                                              extra)
                 if self.num_processes > 1 and not emb.is_fully_replicated:
                     # rows are device-sharded: reassemble the full chunk on
                     # every host (process order == shard order)
