@@ -59,7 +59,12 @@ def build_tokenizer(pretrain_dir: Optional[str], vocab_size: int = 1024):
         if _os.path.exists(cfg_path):
             try:
                 with open(cfg_path) as fh:
-                    model_vocab = _json.load(fh).get("vocab_size")
+                    raw = _json.load(fh)
+                # llava-family checkpoints nest the text vocab under
+                # text_config (reference modeling_llava_next.py config)
+                model_vocab = raw.get("vocab_size") or raw.get(
+                    "text_config", {}
+                ).get("vocab_size")
             except Exception:
                 pass
         try:
@@ -214,14 +219,23 @@ def dynamic_image_arrays(ids, text_cache, image_store, token_width: int):
       + the DynamicImagePreprocessor capacity arrays (patches/valid/hw).
     """
     out = image_store.dynamic_batch(ids)
+    N, T = len(ids), token_width
+    s = 1  # span start: position 0 is vision_start
+    img_src = np.full((N, T), -1, np.int32)
+    if image_store.dyn_kind == "anyres":
+        # LLaVA towers use plain sequential positions (image tokens occupy
+        # a contiguous span, exactly HF's layout) — no img_pos needed
+        for row in range(N):
+            n = int(out["n_tokens"][row])
+            img_src[row, s:s + n] = np.arange(n, dtype=np.int32)
+        out["img_src"] = img_src
+        del out["n_tokens"]
+        return out
     dyn = image_store.dyn
     m = dyn.merge_size
-    N, T = len(ids), token_width
-    img_src = np.full((N, T), -1, np.int32)
     img_pos = np.broadcast_to(
         np.arange(T, dtype=np.int32), (N, 3, T)
     ).copy()
-    s = 1  # span start: position 0 is vision_start
     for row in range(N):
         n = int(out["n_tokens"][row])
         # post-merger token grid for this item (hw rows are patch-level)
@@ -247,11 +261,10 @@ def _emit_image_keys(batch, prefix, ids, tokens, image_store, text_cache):
     if image_store.dynamic:
         arrs = dynamic_image_arrays(ids, text_cache, image_store,
                                     tokens.shape[1])
-        batch[f"{p}pixel_patches"] = arrs["patches"]
-        batch[f"{p}patch_valid"] = arrs["valid"]
-        batch[f"{p}patch_hw"] = arrs["hw"]
-        batch[f"{p}img_src"] = arrs["img_src"]
-        batch[f"{p}img_pos"] = arrs["img_pos"]
+        batch[f"{p}pixel_patches"] = arrs.pop("patches")
+        rename = {"valid": "patch_valid", "hw": "patch_hw"}
+        for k, v in arrs.items():  # valid/hw/tok_src/img_src/img_pos
+            batch[f"{p}{rename.get(k, k)}"] = v
     else:
         batch[f"{p}pixel_patches"] = image_store.batch(ids)
 

@@ -288,6 +288,156 @@ class DynamicImagePreprocessor:
         return patches, valid, hw, n // self.merge_size ** 2
 
 
+def select_best_resolution(orig_h: int, orig_w: int, pinpoints):
+    """HF ``select_best_resolution`` semantics (reference
+    modeling_llava_next.py:73,102 via transformers.image_processing_utils):
+    choose the pinpoint maximizing the effective (downscale-fit) resolution,
+    tie-broken by minimum wasted area. pinpoints: [(H, W), ...]."""
+    best, best_eff, best_waste = None, -1, None
+    for (th, tw) in pinpoints:
+        scale = min(tw / orig_w, th / orig_h)
+        dw, dh = int(orig_w * scale), int(orig_h * scale)
+        eff = min(dw * dh, orig_w * orig_h)
+        waste = th * tw - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (th, tw), eff, waste
+    return best
+
+
+class AnyResPreprocessor:
+    """LLaVA-Next dynamic AnyRes with STATIC device shapes.
+
+    The reference (modeling_llava_next.py get_image_patches /
+    pack_image_features) picks a per-image pinpoint, resizes
+    aspect-preserving + pads, crops into base-resolution tiles, and after
+    the tower UNPADS the stitched feature grid and inserts a newline token
+    per row — all shape-dynamic. Here every choice is made host-side into
+    fixed-capacity arrays:
+
+      crops    [C_cap, P, patch_dim]  base crop first, then tiles (padded)
+      tok_src  [T_cap]                per packed image token: flat index
+                                      into [C_cap·P] crop features, or
+                                      NEWLINE (= C_cap·P), or -1 (unused)
+
+    and the device side is one gather over [crops·P + 1] rows — the unpad
+    is exact because pad rows simply never appear in ``tok_src``.
+    """
+
+    NEWLINE = -2  # sentinel inside build; emitted as C_cap*P in tok_src
+
+    def __init__(self, patch_size: int, image_size: int, pinpoints):
+        assert image_size % patch_size == 0
+        self.patch_size = patch_size
+        self.image_size = image_size                # base crop side (square)
+        self.gb = image_size // patch_size          # per-crop grid side
+        self.P = self.gb * self.gb
+        self.patch_dim = 3 * patch_size ** 2
+        self.pinpoints = [(int(h), int(w)) for h, w in pinpoints]
+        for (th, tw) in self.pinpoints:
+            assert th % image_size == 0 and tw % image_size == 0, (
+                "pinpoints must be multiples of the base image_size"
+            )
+        self.c_cap = 1 + max(
+            (th // image_size) * (tw // image_size) for th, tw in self.pinpoints
+        )
+        self.token_cap = self.P + max(
+            (th // patch_size) * (tw // patch_size + 1)
+            for th, tw in self.pinpoints
+        )
+
+    def _patchify(self, chw: np.ndarray) -> np.ndarray:
+        ps, g = self.patch_size, self.gb
+        x = chw.reshape(3, g, ps, g, ps)
+        return np.ascontiguousarray(
+            x.transpose(1, 3, 0, 2, 4).reshape(self.P, self.patch_dim)
+        )
+
+    def _norm(self, img, w, h):
+        arr = np.asarray(img.resize((w, h)), np.float32) / 255.0
+        arr = (arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+    def _unpad_ranges(self, oh, ow, gh, gw):
+        """Kept (row, col) ranges of the stitched feature grid — HF
+        ``unpad_image`` in feature units."""
+        ch, cw = gh * self.gb, gw * self.gb
+        if ow / oh > cw / ch:        # original wider → rows were padded
+            new_h = int(round(oh * cw / ow))
+            prow = (ch - new_h) // 2
+            return range(prow, ch - prow), range(cw)
+        new_w = int(round(ow * ch / oh))
+        pcol = (cw - new_w) // 2
+        return range(ch), range(pcol, cw - pcol)
+
+    def count_for_size(self, oh: int, ow: int) -> int:
+        """Image-token count from the header size alone (for the text
+        cache's per-item span, no pixel decode)."""
+        th, tw = select_best_resolution(oh, ow, self.pinpoints)
+        rows, cols = self._unpad_ranges(oh, ow, th // self.image_size,
+                                        tw // self.image_size)
+        return self.P + len(rows) * (len(cols) + 1)
+
+    def load(self, path: Optional[str]):
+        """→ (crops [C_cap, P, dim], tok_src [T_cap], n_tokens)."""
+        crops = np.zeros((self.c_cap, self.P, self.patch_dim), np.float32)
+        tok_src = np.full(self.token_cap, -1, np.int32)
+        S = self.image_size
+        black = np.broadcast_to(
+            ((0.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD)[:, None, None],
+            (3, S, S),
+        ).astype(np.float32)
+        img = None
+        if path and os.path.isfile(path):
+            try:
+                from PIL import Image
+
+                img = Image.open(path).convert("RGB")
+            except Exception:
+                img = None
+        if img is None:
+            # missing: base crop only (black), no grid tokens
+            crops[0] = self._patchify(black)
+            tok_src[: self.P] = np.arange(self.P)
+            return crops, tok_src, self.P
+        ow, oh = img.size
+        th, tw = select_best_resolution(oh, ow, self.pinpoints)
+        gh, gw = th // S, tw // S
+        # aspect-preserving resize + centered pad (HF resize_and_pad)
+        scale = min(tw / ow, th / oh)
+        nw, nh = max(1, int(ow * scale)), max(1, int(oh * scale))
+        pad_t, pad_l = (th - nh) // 2, (tw - nw) // 2
+        canvas = np.broadcast_to(
+            ((0.0 - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD)[:, None, None],
+            (3, th, tw),
+        ).astype(np.float32).copy()
+        canvas[:, pad_t:pad_t + nh, pad_l:pad_l + nw] = self._norm(img, nw, nh)
+        crops[0] = self._patchify(self._norm(img, S, S))     # base crop
+        ci = 1
+        for r in range(gh):
+            for c in range(gw):
+                crops[ci] = self._patchify(
+                    np.ascontiguousarray(
+                        canvas[:, r * S:(r + 1) * S, c * S:(c + 1) * S]
+                    )
+                )
+                ci += 1
+        # token map: base first, then the UNPADDED stitched grid with one
+        # newline per kept row (reference unpad_image + pack_image_features)
+        rows, cols = self._unpad_ranges(oh, ow, gh, gw)
+        tok_src[: self.P] = np.arange(self.P)
+        j = self.P
+        newline = self.c_cap * self.P
+        for r in rows:
+            for c in cols:
+                crop = 1 + (r // self.gb) * gw + (c // self.gb)
+                pos = (r % self.gb) * self.gb + (c % self.gb)
+                tok_src[j] = crop * self.P + pos
+                j += 1
+            tok_src[j] = newline
+            j += 1
+        return crops, tok_src, j
+
+
 def resolve_patch_geometry(config):
     """(patch_size, temporal_patch_size, merge) — must match the model-side
     VisionConfig (from the item checkpoint dir, else the tiny default)."""
@@ -313,21 +463,41 @@ class ItemImageStore:
         ps, tps, merge = resolve_patch_geometry(config)
         anyres = config.get("anyres_grid") or None
         self.dynamic = bool(config.get("dynamic_image_res", False))
+        self.dyn_kind = None
         if self.dynamic:
-            # image-token capacity must leave text room: cap max_pixels so
-            # the largest image span (+2 delimiters) fits MAX_TEXT_LENGTH
-            T = int(config.get("MAX_TEXT_LENGTH", 64))
-            budget_px = max(1, (T - 8)) * (ps * merge) ** 2
-            self.dyn = DynamicImagePreprocessor(
-                patch_size=ps, temporal_patch_size=tps,
-                spatial_merge_size=merge,
-                min_pixels=int(config.get("image_min_pixels", 4 * 28 * 28)),
-                max_pixels=min(
-                    int(config.get("image_max_pixels", 256 * 28 * 28)),
-                    budget_px,
-                ),
-            )
             self._grids: Dict[int, tuple] = {}
+            pinpoints = config.get("image_grid_pinpoints")
+            if tps == 1 and merge == 1:
+                # CLIP/SigLIP tower → LLaVA-Next dynamic AnyRes
+                self.dyn_kind = "anyres"
+                S = int(config.get("img_height", 224))
+                if not pinpoints:  # HF llava-1.6 default shape set, scaled
+                    pinpoints = [(2 * S, S), (S, 2 * S), (2 * S, 2 * S),
+                                 (3 * S, S), (S, 3 * S)]
+                self.dyn = AnyResPreprocessor(
+                    patch_size=ps, image_size=S, pinpoints=pinpoints,
+                )
+                T = int(config.get("MAX_TEXT_LENGTH", 64))
+                assert self.dyn.token_cap + 2 < T, (
+                    f"MAX_TEXT_LENGTH={T} too small for the AnyRes token "
+                    f"capacity {self.dyn.token_cap}; raise it or shrink the "
+                    f"pinpoints/img_height"
+                )
+            else:
+                self.dyn_kind = "smart"
+                # image-token capacity must leave text room: cap max_pixels
+                # so the largest span (+2 delimiters) fits MAX_TEXT_LENGTH
+                T = int(config.get("MAX_TEXT_LENGTH", 64))
+                budget_px = max(1, (T - 8)) * (ps * merge) ** 2
+                self.dyn = DynamicImagePreprocessor(
+                    patch_size=ps, temporal_patch_size=tps,
+                    spatial_merge_size=merge,
+                    min_pixels=int(config.get("image_min_pixels", 4 * 28 * 28)),
+                    max_pixels=min(
+                        int(config.get("image_max_pixels", 256 * 28 * 28)),
+                        budget_px,
+                    ),
+                )
         self.prep = ImagePreprocessor(
             int(config.get("img_height", 224)), int(config.get("img_width", 224)),
             patch_size=ps, temporal_patch_size=tps, spatial_merge_size=merge,
@@ -373,33 +543,62 @@ class ItemImageStore:
         return p
 
     def n_tokens(self, item_id: int) -> int:
-        """Dynamic mode: post-merger image-token count for this item (from
-        the file header only; cached)."""
-        g = self._grids.get(item_id)
-        if g is None:
-            g = self.dyn.grid_for_path(self.path(int(item_id)))
-            self._grids[item_id] = g
-        return (g[0] * g[1]) // self.dyn.merge_size ** 2
+        """Dynamic mode: image-token count for this item (from the file
+        header only; cached)."""
+        n = self._grids.get(item_id)
+        if n is not None:
+            return n
+        path = self.path(int(item_id))
+        if self.dyn_kind == "anyres":
+            n = self.dyn.P  # missing-image fallback: base crop only
+            if path:
+                try:
+                    from PIL import Image
+
+                    with Image.open(path) as img:
+                        ow, oh = img.size
+                    n = self.dyn.count_for_size(oh, ow)
+                except Exception:
+                    pass
+        else:
+            g = self.dyn.grid_for_path(path)
+            n = (g[0] * g[1]) // self.dyn.merge_size ** 2
+        self._grids[item_id] = n
+        return n
+
+    def _dyn_load_cached(self, iid: int):
+        hit = self._patch_cache.get(iid)
+        if hit is None:
+            hit = self.dyn.load(self.path(iid))
+            self._patch_cache[iid] = hit
+            if len(self._patch_cache) > self._cache_cap:
+                self._patch_cache.popitem(last=False)
+        else:
+            self._patch_cache.move_to_end(iid)
+        return hit
 
     def dynamic_batch(self, item_ids) -> Dict[str, np.ndarray]:
         """Dynamic mode: → dict of fixed-capacity arrays (see
-        DynamicImagePreprocessor.load). Cached per item like ``batch``."""
+        DynamicImagePreprocessor.load / AnyResPreprocessor.load). Cached
+        per item like ``batch``."""
         ids = [int(i) for i in item_ids]
-        N, P = len(ids), self.dyn.patch_cap
+        N = len(ids)
+        if self.dyn_kind == "anyres":
+            d = self.dyn
+            crops = np.zeros((N, d.c_cap, d.P, d.patch_dim), np.float32)
+            tok_src = np.full((N, d.token_cap), -1, np.int32)
+            ntok = np.zeros(N, np.int32)
+            for row, iid in enumerate(ids):
+                crops[row], tok_src[row], ntok[row] = self._dyn_load_cached(iid)
+            return {"patches": crops, "tok_src": tok_src, "n_tokens": ntok}
+        P = self.dyn.patch_cap
         patches = np.zeros((N, P, self.dyn.patch_dim), np.float32)
         valid = np.zeros((N, P), bool)
         hw = np.zeros((N, P, 2), np.int32)
         ntok = np.zeros(N, np.int32)
         for row, iid in enumerate(ids):
-            hit = self._patch_cache.get(iid)
-            if hit is None:
-                hit = self.dyn.load(self.path(iid))
-                self._patch_cache[iid] = hit
-                if len(self._patch_cache) > self._cache_cap:
-                    self._patch_cache.popitem(last=False)
-            else:
-                self._patch_cache.move_to_end(iid)
-            patches[row], valid[row], hw[row], ntok[row] = hit
+            patches[row], valid[row], hw[row], ntok[row] = \
+                self._dyn_load_cached(iid)
         return {"patches": patches, "valid": valid, "hw": hw, "n_tokens": ntok}
 
     def batch(self, item_ids) -> np.ndarray:

@@ -49,12 +49,12 @@ def _batch_image_extra(batch: Dict[str, jnp.ndarray], prefix: str):
     src = batch.get(f"{prefix}_img_src")
     if src is None:
         return None
-    return {
-        "patch_valid": batch[f"{prefix}_patch_valid"],
-        "patch_hw": batch[f"{prefix}_patch_hw"],
-        "img_src": src,
-        "img_pos": batch[f"{prefix}_img_pos"],
-    }
+    out = {"img_src": src}
+    for k in ("patch_valid", "patch_hw", "img_pos", "tok_src"):
+        v = batch.get(f"{prefix}_{k}")
+        if v is not None:
+            out[k] = v
+    return out
 
 
 class HLLM(nn.Module):
@@ -291,11 +291,17 @@ class HLLM(nn.Module):
             return {}
         N, T = tokens.shape
         if image_extra and image_extra.get("img_src") is not None:
-            img_tokens = self.visual(
-                pixel_patches,
-                patch_valid=image_extra["patch_valid"],
-                patch_hw=image_extra["patch_hw"],
-            )                                               # [N, T_img_cap, D]
+            if image_extra.get("tok_src") is not None:
+                # dynamic AnyRes (clip arch): crop capacity + token gather
+                img_tokens = self.visual(
+                    pixel_patches, tok_src=image_extra["tok_src"]
+                )                                           # [N, T_img_cap, D]
+            else:
+                img_tokens = self.visual(
+                    pixel_patches,
+                    patch_valid=image_extra["patch_valid"],
+                    patch_hw=image_extra["patch_hw"],
+                )                                           # [N, T_img_cap, D]
             extra = {
                 "image_embeds": img_tokens,
                 "image_src": image_extra["img_src"],
@@ -512,12 +518,14 @@ def load_pretrained_towers(params, config):
                 if has_vision_weights(sd):
                     vcfg = VisionConfig.from_pretrained_dir(path)
                     anyres = config.get("anyres_grid") or None
-                    if anyres:
-                        import dataclasses as _dc
+                    import dataclasses as _dc
 
+                    if anyres:
                         vcfg = _dc.replace(
                             vcfg, anyres_grid=tuple(int(x) for x in anyres)
                         )
+                    if config.get("dynamic_image_res") and vcfg.arch == "clip":
+                        vcfg = _dc.replace(vcfg, dynamic_anyres=True)
                     params["visual"] = load_any_vision_params(sd, vcfg)
             except (FileNotFoundError, ValueError):
                 pass
@@ -607,6 +615,8 @@ def hllm_from_config(config, dataload) -> HLLM:
             vision_cfg = _dc.replace(
                 vision_cfg, anyres_grid=tuple(int(x) for x in anyres)
             )
+        if config.get("dynamic_image_res") and vision_cfg.arch == "clip":
+            vision_cfg = _dc.replace(vision_cfg, dynamic_anyres=True)
         ih = int(config.get("img_height", 224))
         iw = int(config.get("img_width", 224))
         img_grid = (ih // vision_cfg.patch_size, iw // vision_cfg.patch_size)

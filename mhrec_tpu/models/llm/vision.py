@@ -60,6 +60,9 @@ class VisionConfig:
     # modeling_llava_next.py pack_image_features at ONE pinned pinpoint so
     # the image-token count stays a compile-time constant
     anyres_grid: Optional[tuple] = None
+    # dynamic per-image AnyRes pinpoints (clip arch): host-side maps, see
+    # data/vision.py AnyResPreprocessor — only affects which params exist
+    dynamic_anyres: bool = False
     # checkpoint-native position-table length (clip: (image_size/ps)² + cls);
     # 0 → sized from the run grid. Declared at this size so pretrained
     # tables load even when the run grid is smaller (sliced at apply time).
@@ -310,13 +313,18 @@ class ClipVisionTower(nn.Module):
     feature_layer_offset: int = 1    # -2 ⇒ skip the last block
 
     @nn.compact
-    def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, patches: jnp.ndarray, tok_src=None) -> jnp.ndarray:
+        """``tok_src`` (dynamic AnyRes, data/vision.py AnyResPreprocessor):
+        [N, T_cap] gather map over the flat [n_crops·P (+1 newline)] crop
+        features — per-image pinpoints/unpad resolved host-side; padded
+        crops are computed but never gathered."""
         c = self.config
         n_crops = 1
         if patches.ndim == 4:        # [N, n_crops, P, dim] — AnyRes crops
-            assert c.anyres_grid, "rank-4 patches require anyres_grid"
             n_items, n_crops = patches.shape[:2]
-            assert n_crops == 1 + c.anyres_grid[0] * c.anyres_grid[1]
+            if tok_src is None:
+                assert c.anyres_grid, "rank-4 patches require anyres_grid"
+                assert n_crops == 1 + c.anyres_grid[0] * c.anyres_grid[1]
             patches = patches.reshape((-1,) + patches.shape[2:])
         N, P, _ = patches.shape
         x = nn.Dense(c.embed_dim, use_bias=c.patch_bias, dtype=self.dtype,
@@ -349,6 +357,26 @@ class ClipVisionTower(nn.Module):
         h = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc1")(x)
         h = nn.gelu(h, approximate=False)   # HF LLaVA projector uses exact gelu
         feats = nn.Dense(c.hidden_size, dtype=self.dtype, name="proj_fc2")(h)
+        if tok_src is not None:
+            # dynamic AnyRes: flatten crop features, append the newline row
+            # (index n_crops·P), gather the host-computed packing — base
+            # crop + unpadded grid + per-row newlines, exactly the reference
+            # pack_image_features order
+            N_, P_ = tok_src.shape[0], feats.shape[1]
+            D = c.hidden_size
+            embed_std = 1.0 / np.sqrt(D)
+            newline = self.param(
+                "image_newline", nn.initializers.normal(embed_std), (D,)
+            ).astype(feats.dtype)
+            flat = feats.reshape(N_, n_crops * P_, D)
+            flat = jnp.concatenate(
+                [flat, jnp.broadcast_to(newline[None, None, :], (N_, 1, D))],
+                axis=1,
+            )
+            take = jnp.take_along_axis(
+                flat, jnp.clip(tok_src, 0, n_crops * P_)[..., None], axis=1
+            )
+            return jnp.where((tok_src >= 0)[..., None], take, 0.0)
         if n_crops == 1:
             return feats
         # pack_image_features (reference modeling_llava_next.py:407-…): base
@@ -408,7 +436,7 @@ def load_clip_vision_params(sd: Dict[str, np.ndarray], config: VisionConfig,
         }
     if config.use_cls_token:
         params["class_embedding"] = t(f"{pre}.embeddings.class_embedding")
-    if config.anyres_grid:
+    if config.anyres_grid or config.dynamic_anyres:
         if "image_newline" in sd:
             params["image_newline"] = t("image_newline")
         else:  # absent in non-anyres checkpoints: HF-style fresh init

@@ -363,7 +363,24 @@ class Trainer:
                     from mhrec_tpu.data.vision import resolve_patch_geometry
 
                     ps, tps, _m = resolve_patch_geometry(c)
-                    if c.get("dynamic_image_res", False):
+                    if c.get("dynamic_image_res", False) and tps == 1 and _m == 1:
+                        from mhrec_tpu.data.vision import AnyResPreprocessor
+
+                        S = int(c.get("img_height", 224))
+                        pins = c.get("image_grid_pinpoints") or [
+                            (2 * S, S), (S, 2 * S), (2 * S, 2 * S),
+                            (3 * S, S), (S, 3 * S)]
+                        dyn = AnyResPreprocessor(ps, S, pins)
+                        for pref, n in (("pos", B * (L + P)),
+                                        ("neg", B * n_cats * K)):
+                            batch[f"{pref}_pixel_patches"] = jnp.zeros(
+                                (n, dyn.c_cap, dyn.P, dyn.patch_dim),
+                                jnp.float32)
+                            batch[f"{pref}_tok_src"] = jnp.full(
+                                (n, dyn.token_cap), -1, jnp.int32)
+                            batch[f"{pref}_img_src"] = jnp.full(
+                                (n, T), -1, jnp.int32)
+                    elif c.get("dynamic_image_res", False):
                         from mhrec_tpu.data.vision import DynamicImagePreprocessor
 
                         dyn = DynamicImagePreprocessor(
@@ -723,8 +740,9 @@ class Trainer:
                     )
                 else:
                     px = cb.get("pixel_patches")
-                    extra_keys = ("patch_valid", "patch_hw", "img_src", "img_pos")
-                    extra = ({k: cb[k] for k in extra_keys}
+                    extra_keys = ("patch_valid", "patch_hw", "img_src",
+                                  "img_pos", "tok_src")
+                    extra = ({k: cb[k] for k in extra_keys if k in cb}
                              if "img_src" in cb else None)
                     if self.num_processes > 1:
                         from mhrec_tpu.parallel.mesh import shard_identical

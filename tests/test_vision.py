@@ -549,3 +549,314 @@ def test_llava_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     assert stats["iters"] == 2
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+# ---------------------------------------------------------------------------
+# dynamic resolution (smart-resize) — reference qwen_vl_utils.py:53-79 +
+# the varlen vision path of modeling_qwen2_vl.py
+# ---------------------------------------------------------------------------
+
+
+def test_smart_resize_reference_math():
+    from mhrec_tpu.data.vision import smart_resize
+
+    # constraints: divisible by factor, pixels within budget, aspect kept
+    for (h, w) in [(480, 640), (1024, 768), (30, 50), (2000, 300), (28, 28)]:
+        hb, wb = smart_resize(h, w, factor=28, min_pixels=4 * 28 * 28,
+                              max_pixels=256 * 28 * 28)
+        assert hb % 28 == 0 and wb % 28 == 0
+        assert 4 * 28 * 28 <= hb * wb <= 256 * 28 * 28
+    # aspect preserved when no clamping needed
+    hb, wb = smart_resize(280, 560, factor=28, min_pixels=4 * 784,
+                          max_pixels=16384 * 784)
+    assert (hb, wb) == (280, 560)
+    # max_pixels clamp scales down keeping ratio roughly
+    hb, wb = smart_resize(2800, 2800, factor=28, min_pixels=4 * 784,
+                          max_pixels=100 * 784)
+    assert hb * wb <= 100 * 784 and hb == wb
+
+
+def test_dynamic_preprocessor_capacity_arrays(tmp_path):
+    from PIL import Image
+
+    from mhrec_tpu.data.vision import DynamicImagePreprocessor
+
+    dyn = DynamicImagePreprocessor(
+        patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+        min_pixels=4 * 8 * 8, max_pixels=16 * 8 * 8,  # factor=8, cap 16 tokens
+    )
+    assert dyn.token_cap == 16 and dyn.patch_cap == 64
+    rng = np.random.default_rng(0)
+    p = tmp_path / "a.png"
+    Image.fromarray(rng.integers(0, 255, (16, 32, 3), np.uint8), "RGB").save(p)
+    patches, valid, hw, ntok = dyn.load(str(p))
+    assert patches.shape == (64, dyn.patch_dim)
+    # 16x32 -> smart target 16x32 -> grid 4x8 patches, 8 merged tokens
+    assert valid.sum() == 32 and ntok == 8
+    assert hw[:32, 0].max() == 3 and hw[:32, 1].max() == 7
+    assert not valid[32:].any() and (patches[32:] == 0).all()
+    # merge-block patch order: first block covers h,w in {0,1}x{0,1}
+    assert set(map(tuple, hw[:4].tolist())) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    # missing file -> default grid black image, still valid arrays
+    pb, vb, hb, nb = dyn.load(None)
+    assert vb.sum() > 0 and nb == vb.sum() // 4
+
+
+def test_dynamic_matches_static_when_sizes_equal(synth_dir, tmp_path_factory,
+                                                 tmp_path):
+    """With every image at one native size, the dynamic path must reproduce
+    the static fixed-resolution path's item embeddings exactly (same grid,
+    same rope positions, same splice)."""
+    from PIL import Image
+
+    from mhrec_tpu.parallel.mesh import shard_batch
+
+    ckpt = str(tmp_path / "qwen2vl")
+    _write_tiny_qwen2vl_ckpt(ckpt)
+    image_dir = tmp_path / "images"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    for i in range(0, 30):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+
+    base = dict(
+        data_path=synth_dir["data_path"],
+        dataset=synth_dir["name"],
+        text_path=synth_dir["text_path"],
+        model="HLLM",
+        dummy_llm=False,
+        item_pretrain_dir=ckpt,
+        user_pretrain_dir=ckpt,
+        use_image=True,
+        image_dir=str(image_dir),
+        MAX_ITEM_LIST_LENGTH=4,
+        MAX_TEXT_LENGTH=16,
+        train_batch_size=4,
+        eval_batch_size=8,
+        num_negatives=4,
+        tag_version="v1",
+        eval_pred_len=2, pred_len=2,
+        topk=[5],
+        total_iters=1, eval_interval=100,
+        seed=11,
+    )
+
+    def item_embs(extra_cfg, tag):
+        cfg = Config(
+            config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+            config_dict=dict(
+                base, checkpoint_dir=str(tmp_path_factory.mktemp(tag)),
+                **extra_cfg,
+            ),
+        ).finalize()
+        data = InteractionData(cfg).build()
+        train, _, _ = build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model()
+        b = next(iter(train.epoch_batches(0)))
+        import jax
+
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        extra = None
+        if "pos_img_src" in b:
+            extra = {
+                "patch_valid": b["pos_patch_valid"],
+                "patch_hw": b["pos_patch_hw"],
+                "img_src": b["pos_img_src"],
+                "img_pos": b["pos_img_pos"],
+            }
+        fn = jax.jit(lambda p, tok, lens, px, ex: t.model.apply(
+            {"params": p}, tok, lens, px, ex, method="encode_items"))
+        embs = fn(t.state.params, b["pos_tokens"], b["pos_token_lens"],
+                  b["pos_pixel_patches"], extra)
+        return np.asarray(embs), np.asarray(b["pos_tokens"]), t
+
+    # native 16x16, ps=4, merge=2 -> static grid 4x4 == smart-resize target
+    dyn_embs, dyn_tokens, _ = item_embs(
+        dict(dynamic_image_res=True,
+             image_min_pixels=4 * 8 * 8, image_max_pixels=4 * 8 * 8),
+        "dyn",
+    )
+    st_embs, st_tokens, _ = item_embs(
+        dict(img_height=16, img_width=16), "static"
+    )
+    assert (dyn_tokens == st_tokens).all()
+    np.testing.assert_allclose(dyn_embs, st_embs, rtol=2e-2, atol=2e-2)
+
+
+def test_dynamic_mixed_sizes_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """Images at DIFFERENT native sizes in one batch: per-item spans differ,
+    the run trains + evaluates, and each item's token stream carries exactly
+    its n_i image pads."""
+    from PIL import Image
+
+    ckpt = str(tmp_path / "qwen2vl")
+    _write_tiny_qwen2vl_ckpt(ckpt)
+    image_dir = tmp_path / "images"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    sizes = [(8, 8), (16, 8), (16, 24), (8, 32)]
+    for i in range(0, 24):
+        h, w = sizes[i % len(sizes)]
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_image=True,
+            dynamic_image_res=True,
+            image_min_pixels=1 * 8 * 8,
+            image_max_pixels=6 * 8 * 8,
+            image_dir=str(image_dir),
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=16,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_dyn")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    # spans vary: image-pad counts differ across rows
+    n_img = (b["pos_img_src"] >= 0).sum(axis=1)
+    assert len(np.unique(n_img)) > 1, "expected mixed image-token counts"
+    # img_src enumerates 0..n_i-1 contiguously from position 1
+    row = int(np.argmax(n_img))
+    n = int(n_img[row])
+    assert (b["pos_img_src"][row, 1:1 + n] == np.arange(n)).all()
+    assert (b["pos_img_src"][row, 1 + n:] == -1).all()
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+# ---------------------------------------------------------------------------
+# dynamic AnyRes (LLaVA-Next per-image pinpoints) — reference
+# modeling_llava_next.py get_image_patches / pack_image_features / unpad_image
+# ---------------------------------------------------------------------------
+
+
+def test_select_best_resolution_matches_hf():
+    from mhrec_tpu.data.vision import select_best_resolution
+
+    hf = pytest.importorskip(
+        "transformers.image_processing_utils"
+    ).select_best_resolution
+    pins = [[32, 16], [16, 32], [32, 32], [48, 16], [16, 48]]
+    for (oh, ow) in [(10, 40), (40, 10), (20, 20), (100, 30), (17, 33),
+                     (16, 16), (300, 300)]:
+        ours = select_best_resolution(oh, ow, pins)
+        theirs = tuple(hf((oh, ow), pins))
+        assert ours == theirs, (oh, ow, ours, theirs)
+
+
+def test_anyres_preprocessor_dynamic_maps(tmp_path):
+    from PIL import Image
+
+    from mhrec_tpu.data.vision import AnyResPreprocessor
+
+    prep = AnyResPreprocessor(patch_size=4, image_size=16,
+                              pinpoints=[(32, 16), (16, 32)])
+    assert prep.c_cap == 3 and prep.P == 16
+    rng = np.random.default_rng(3)
+    # wide image → (16, 32) pinpoint: 1x2 grid, rows unpadded per aspect
+    p = tmp_path / "wide.jpg"
+    Image.fromarray(rng.integers(0, 255, (16, 64, 3), np.uint8), "RGB").save(p)
+    crops, tok_src, n = prep.load(str(p))
+    assert crops.shape == (3, 16, 48)
+    # base tokens first
+    assert (tok_src[:16] == np.arange(16)).all()
+    # feature grid 4x8, original 16x64 → new_h = round(16*8/64)=2 rows kept,
+    # 1-row pad top/bottom; each kept row = 8 cols + newline
+    assert n == 16 + 2 * 9
+    newline = prep.c_cap * prep.P
+    grid_part = tok_src[16:n].reshape(2, 9)
+    assert (grid_part[:, -1] == newline).all()
+    assert (grid_part[:, :-1] != newline).all()
+    assert (tok_src[n:] == -1).all()
+    # count_for_size agrees with load without decoding pixels
+    assert prep.count_for_size(16, 64) == n
+    # missing image → base crop only
+    _, tok_b, nb = prep.load(None)
+    assert nb == 16 and (tok_b[16:] == -1).all()
+
+
+def test_dynamic_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """LLaVA item tower with per-image pinpoints: mixed aspect ratios in one
+    batch, variable spans, train + eval."""
+    from PIL import Image
+
+    ckpt = str(tmp_path / "llava")
+    _write_tiny_llava_ckpt(ckpt)
+    image_dir = tmp_path / "images"
+    ds_dir = image_dir / synth_dir["name"]
+    ds_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    sizes = [(16, 16), (16, 48), (48, 16), (24, 24)]
+    for i in range(0, 24):
+        h, w = sizes[i % len(sizes)]
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), np.uint8), "RGB"
+        ).save(ds_dir / f"i{i}.jpg")
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_image=True,
+            dynamic_image_res=True,
+            image_grid_pinpoints=[[32, 16], [16, 32]],
+            img_height=16, img_width=16,
+            image_dir=str(image_dir),
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=64,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_anyres")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    assert b["pos_pixel_patches"].ndim == 4          # [N, C_cap, P, dim]
+    n_img = (b["pos_img_src"] >= 0).sum(axis=1)
+    assert len(np.unique(n_img)) > 1, "expected mixed image-token counts"
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]

@@ -86,9 +86,13 @@ def bench_corpus(layers):
 
     t_dir = tower_dir(n_layers=layers)
     num_items = 2000
+    # corpus pass is fwd-only: freeze both towers so no Adam moments are
+    # allocated (the eval-side protocol never needs them), tiny user tower
+    u_dir = tower_dir(n_layers=2, hidden=2048, heads=32, kv_heads=4)
     config, data, train, trainer = build(
-        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
-             item_llm_init=False, user_llm_init=False, dummy_llm=False),
+        dict(item_pretrain_dir=t_dir, user_pretrain_dir=u_dir,
+             item_llm_init=False, user_llm_init=False, dummy_llm=False,
+             freeze_prefix=["item_llm", "user_llm", "item_emb_tokens"]),
         num_items=num_items,
     )
     p_item = n_params(trainer.state.params["item_llm"])
@@ -183,15 +187,18 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "all"
     layers = int(sys.argv[sys.argv.index("--layers") + 1]) if "--layers" in sys.argv else None
     jobs = {
-        "corpus": (bench_corpus, 22),
-        "freeze": (bench_freeze, 22),
-        "pair": (bench_pair, 12),
+        "corpus": (bench_corpus, [22]),
+        "freeze": (bench_freeze, [22, 14, 8]),
+        "pair": (bench_pair, [12, 8, 5]),
     }
-    for name, (fn, default_layers) in jobs.items():
+    for name, (fn, fallbacks) in jobs.items():
         if which not in ("all", name):
             continue
-        try:
-            print(json.dumps(fn(layers or default_layers)), flush=True)
-        except Exception as e:
-            print(json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"[:300]}),
-                  flush=True)
+        for n_layers in ([layers] if layers else fallbacks):
+            try:
+                print(json.dumps(fn(n_layers)), flush=True)
+                break
+            except Exception as e:
+                print(json.dumps(
+                    {"metric": f"{name}_{n_layers}L",
+                     "error": f"{type(e).__name__}: {e}"[:240]}), flush=True)
