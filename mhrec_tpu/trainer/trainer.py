@@ -162,7 +162,7 @@ class Trainer:
         seed = int(seed if seed is not None else (self.config["seed"] or 0))
         base = jax.random.PRNGKey(seed)
         k_param, k_drop, k_mix, k_neg, k_state = jax.random.split(base, 5)
-        example = self._example_batch()
+        example = self._example_batch(minimal=True)
         import flax.linen as nn
 
         variables = self.model.init(
@@ -318,18 +318,27 @@ class Trainer:
                 logger.info("resumed at step %d", int(self.state.step))
         return self.state
 
-    def _example_batch(self) -> Dict[str, jnp.ndarray]:
+    def _example_batch(self, minimal: bool = False) -> Dict[str, jnp.ndarray]:
+        """``minimal=True`` shrinks the batch/negative dims to 1 — parameter
+        SHAPES are batch-independent, so ``model.init`` over the minimal
+        batch creates identical params while tracing a forward that is
+        ~B·K× cheaper in FLOPs and peak HBM (a 1B-tower HLLM init at the
+        protocol batch otherwise materializes multi-GB f32 activations
+        before training even starts). The real shapes compile at the first
+        train step as before."""
         c = self.config
-        B = c["train_batch_size"]
+        B = 1 if minimal else c["train_batch_size"]
         L, P = c["MAX_ITEM_LIST_LENGTH"], c["pred_len"]
         C = c["eval_num_cats"]
         n_cats = (C + 1) if (c["loss"] == "prior" and c["neg_sample_by_cat"]
                              and c["category_by"] == "item") else 1
         K = max(
             1,
-            math.ceil((c["num_negatives"] or L * B) / B)
-            if c["num_negatives"]
-            else L,
+            1 if minimal else (
+                math.ceil((c["num_negatives"] or L * B) / B)
+                if c["num_negatives"]
+                else L
+            ),
         )
         batch = {
             "items": jnp.ones((B, L + P), jnp.int32),
