@@ -280,6 +280,10 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         self.dedup_items = bool(config.get("dedup_items", False))
         self.dedup_quantum = int(config.get("dedup_bucket_quantum", 256))
         self.pack_bucket = int(config.get("pack_bucket", 2048))
+        # chunked packing (default): items first-fit into fixed [C, chunk]
+        # rows — bounds the splash kernel and compile size; pack_chunk: 0
+        # restores the single flat stream
+        self.pack_chunk = int(config.get("pack_chunk", 2048) or 0)
         self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
         tokenizer = build_tokenizer(
             config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
@@ -338,8 +342,11 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
 
             all_tokens = np.concatenate([pos_tokens, neg_tokens], axis=0)
             all_lens = np.concatenate([pos_lens, neg_lens])
+            import jax as _jax
+
             batch.update(pack_items(all_tokens, all_lens, bucket=self.pack_bucket,
-                                    n_emb=self.n_emb))
+                                    n_emb=self.n_emb, chunk=self.pack_chunk,
+                                    chunk_round=_jax.device_count()))
             batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
         else:
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
@@ -382,6 +389,7 @@ class BatchTextBatcher:
             self.image_store is None
         )
         self.pack_bucket = int(config.get("pack_bucket", 2048))
+        self.pack_chunk = int(config.get("pack_chunk", 2048) or 0)
 
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
         n = self.dataload.item_num
@@ -399,8 +407,11 @@ class BatchTextBatcher:
             if self.packed:
                 from mhrec_tpu.models.llm.packed import pack_items
 
+                import jax as _jax
+
                 out.update(pack_items(tokens, lens, bucket=self.pack_bucket,
-                                      n_emb=self.n_emb))
+                                      n_emb=self.n_emb, chunk=self.pack_chunk,
+                                      chunk_round=_jax.device_count()))
             else:
                 out["tokens"] = tokens
                 out["lens"] = lens

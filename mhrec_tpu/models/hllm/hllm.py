@@ -364,6 +364,18 @@ class HLLM(nn.Module):
         → [N, D_item] read from each item's last slot.
         """
         assert self.item_emb_token_n > 0, "packed mode uses the emb-token slot"
+        if packed_tokens.ndim == 2:
+            # chunked packing [C, chunk] (models/llm/packed.py pack_items
+            # chunk>0): chunk rows are the batch dim; emb_slots stay flat
+            hidden = self.item_llm(
+                input_ids=packed_tokens,
+                position_ids=positions,
+                segment_ids=segment_ids,
+                emb_tokens=self.item_emb_tokens,
+                emb_pos=emb_slots,
+            )
+            flat = hidden.reshape(-1, hidden.shape[-1])
+            return flat[emb_slots + (self.item_emb_token_n - 1)].astype(jnp.float32)
         hidden = self.item_llm(
             input_ids=packed_tokens[None],
             position_ids=positions[None],

@@ -123,10 +123,19 @@ class LlamaAttention(nn.Module):
             # packed_window bounds the splash kernel to a causal band
             from mhrec_tpu.models.llm.packed import packed_attention
 
-            ctx = packed_attention(
-                q[0], k[0], v[0], segment_ids,
-                window=c.packed_window or None,
-            )[None]
+            if segment_ids.ndim == 2:
+                # chunked packing [C, chunk]: one splash call per chunk row
+                # (vmapped) — kernel grid bounded by the chunk length
+                ctx = jax.vmap(
+                    lambda qq, kk, vv, ss: packed_attention(
+                        qq, kk, vv, ss, window=c.packed_window or None
+                    )
+                )(q, k, v, segment_ids)
+            else:
+                ctx = packed_attention(
+                    q[0], k[0], v[0], segment_ids,
+                    window=c.packed_window or None,
+                )[None]
             ctx = ctx.reshape(B, T, D)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)
@@ -242,14 +251,26 @@ class LlamaBackbone(nn.Module):
             # first-slots within the single flat row.
             T = inputs_embeds.shape[1]
             n_emb = emb_tokens.shape[1]
-            for i in range(n_emb):
-                onehot = jax.nn.one_hot(emb_pos + i, T, dtype=inputs_embeds.dtype)
-                if onehot.shape[0] != inputs_embeds.shape[0]:
-                    onehot = onehot.sum(axis=0, keepdims=True)
-                inputs_embeds = (
-                    inputs_embeds * (1.0 - onehot[..., None])
-                    + onehot[..., None] * emb_tokens[0, i].reshape(1, 1, -1)
-                )
+            if segment_ids is not None:
+                # packed modes: emb_pos are FLAT indices into the [B·T]
+                # token stream (legacy [1, S] and chunked [C, chunk] alike)
+                Bc = inputs_embeds.shape[0]
+                Dh = inputs_embeds.shape[-1]
+                flat = inputs_embeds.reshape(Bc * T, Dh)
+                for i in range(n_emb):
+                    ind = jnp.zeros((Bc * T, 1), inputs_embeds.dtype)
+                    ind = ind.at[emb_pos + i].set(1.0)
+                    flat = flat * (1.0 - ind) + ind * emb_tokens[0, i][None, :]
+                inputs_embeds = flat.reshape(Bc, T, Dh)
+            else:
+                for i in range(n_emb):
+                    onehot = jax.nn.one_hot(
+                        emb_pos + i, T, dtype=inputs_embeds.dtype
+                    )
+                    inputs_embeds = (
+                        inputs_embeds * (1.0 - onehot[..., None])
+                        + onehot[..., None] * emb_tokens[0, i].reshape(1, 1, -1)
+                    )
         x = inputs_embeds.astype(self.dtype)
         B, T, _ = x.shape
         if segment_ids is not None:

@@ -77,17 +77,65 @@ def packed_attention(q, k, v, segment_ids, impl: str = "auto",
 
 
 def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048,
-               n_emb: int = 1):
+               n_emb: int = 1, chunk: int = 0, chunk_round: int = 0):
     """Host-side packing: padded [N, T] token rows (+``n_emb`` emb slots per
     item) → flat stream.
 
-    Returns dict with packed_tokens [S], segment_ids [S] (1-based, 0 = pad),
-    positions [S] (within-segment), emb_slots [N] (flat index of each item's
-    FIRST trailing emb-token slot). S is rounded up to a multiple of
-    ``bucket`` to bound recompilation.
+    ``chunk=0`` (legacy): ONE flat stream. Returns packed_tokens [S],
+    segment_ids [S] (1-based, 0 = pad), positions [S] (within-segment),
+    emb_slots [N] (flat index of each item's FIRST trailing emb slot); S
+    rounded up to a multiple of ``bucket`` to bound recompilation.
+
+    ``chunk>0``: first-fit items into rows of exactly ``chunk`` tokens →
+    [C, chunk] arrays (C rounded up to a multiple of 4). Attention then runs
+    per chunk-row: the splash kernel's grid is bounded by ``chunk``
+    regardless of batch size (a single 100k+-token stream at text length
+    256 crashes the XLA TPU compile), chunk rows batch on the MXU, and
+    ``emb_slots`` index the flattened [C·chunk] stream.
     """
     N = len(lens)
     seg_lens = lens + n_emb  # trailing emb slots
+    if chunk:
+        assert int(seg_lens.max(initial=0)) <= chunk, (
+            f"pack_chunk={chunk} smaller than longest item "
+            f"{int(seg_lens.max(initial=0))}"
+        )
+        rows: list = []          # per chunk: list of item indices
+        space: list = []         # remaining tokens per chunk
+        # items arrive pre-padded to one width; first-fit keeps host cost
+        # linear and wastes <1 item-length per chunk
+        for i in range(N):
+            need = int(seg_lens[i])
+            for r in range(len(rows)):
+                if space[r] >= need:
+                    rows[r].append(i)
+                    space[r] -= need
+                    break
+            else:
+                rows.append([i])
+                space.append(chunk - need)
+        # C must divide the device mesh for batch-dim sharding
+        r = chunk_round or 4
+        C = max(r, ((len(rows) + r - 1) // r) * r)
+        packed = np.zeros((C, chunk), dtype=np.int32)
+        seg = np.zeros((C, chunk), dtype=np.int32)
+        pos = np.zeros((C, chunk), dtype=np.int32)
+        emb_slots = np.zeros(N, dtype=np.int32)
+        for r, items in enumerate(rows):
+            off = 0
+            for i in items:
+                n = int(lens[i])
+                packed[r, off : off + n] = tokens[i, :n]
+                seg[r, off : off + n + n_emb] = i + 1
+                pos[r, off : off + n + n_emb] = np.arange(n + n_emb)
+                emb_slots[i] = r * chunk + off + n
+                off += n + n_emb
+        return {
+            "packed_tokens": packed,
+            "packed_segment_ids": seg,
+            "packed_positions": pos,
+            "emb_slots": emb_slots,
+        }
     total = int(seg_lens.sum())
     S = ((total + bucket - 1) // bucket) * bucket
     packed = np.zeros(S, dtype=np.int32)

@@ -353,15 +353,29 @@ class Trainer:
             T = int(c.get("MAX_TEXT_LENGTH", 64)) + n_emb
             if c.get("packed_item_tower", False):
                 n_items = B * (L + P) + B * n_cats * K
-                bucket = int(c.get("pack_bucket", 2048))
                 per_item = 2 + n_emb  # example rows: 2 tokens + emb slots
-                S = ((n_items * per_item + bucket - 1) // bucket) * bucket
-                batch["packed_tokens"] = jnp.ones((S,), jnp.int32)
-                batch["packed_segment_ids"] = jnp.ones((S,), jnp.int32)
-                batch["packed_positions"] = jnp.zeros((S,), jnp.int32)
-                batch["emb_slots"] = (
-                    jnp.arange(n_items, dtype=jnp.int32) * per_item + 2
-                )
+                chunk = int(c.get("pack_chunk", 2048) or 0)
+                if chunk:
+                    per_row = max(1, chunk // per_item)
+                    r = max(4, jax.device_count())
+                    c0 = -(-n_items // per_row)   # ceil items/row-capacity
+                    C = max(r, -(-c0 // r) * r)   # round up to r
+                    batch["packed_tokens"] = jnp.ones((C, chunk), jnp.int32)
+                    batch["packed_segment_ids"] = jnp.ones((C, chunk), jnp.int32)
+                    batch["packed_positions"] = jnp.zeros((C, chunk), jnp.int32)
+                    idx = jnp.arange(n_items, dtype=jnp.int32)
+                    batch["emb_slots"] = (
+                        (idx // per_row) * chunk + (idx % per_row) * per_item + 2
+                    )
+                else:
+                    bucket = int(c.get("pack_bucket", 2048))
+                    S = ((n_items * per_item + bucket - 1) // bucket) * bucket
+                    batch["packed_tokens"] = jnp.ones((S,), jnp.int32)
+                    batch["packed_segment_ids"] = jnp.ones((S,), jnp.int32)
+                    batch["packed_positions"] = jnp.zeros((S,), jnp.int32)
+                    batch["emb_slots"] = (
+                        jnp.arange(n_items, dtype=jnp.int32) * per_item + 2
+                    )
                 batch["n_pos_items"] = jnp.asarray(B * (L + P), jnp.int32)
             else:
                 batch["pos_tokens"] = jnp.ones((B * (L + P), T), jnp.int32)
