@@ -32,6 +32,10 @@ def hstu_attention_xla(
     bias: jnp.ndarray | None = None,  # optional [B|1, L, L] relative bias
 ) -> jnp.ndarray:  # [B, L, H, Dv]
     n = q.shape[1]
+    # NOTE (measured, v5e size4): spelling this as dot_general with the
+    # (b, h) batch dims in place — hoping to fold the [B,L,H,D]→[B,H,L,D]
+    # transposes into the matmul — changes nothing end-to-end (28.97 vs
+    # 28.83 ms); XLA rematerializes the canonical layouts either way.
     scores = jnp.einsum("bnhd,bmhd->bhnm", q, k)
     if bias is not None:
         scores = scores + bias[:, None].astype(scores.dtype)

@@ -377,13 +377,17 @@ def hstu_attention_pallas_v2(q, k, v, mask, interpret: bool = False):
 
 def _fwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
                       o_ref, *, n_real: int, tq: int, H: int, dqk: int,
-                      dv: int, eps: float):
+                      dv: int, eps: float, seg: int = 0):
     qi = pl.program_id(1)
     nonpad = nonpad_ref[0, 0]                       # [L]
     L = k_ref.shape[1]
     rows = qi * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tq, L), 1)
     mask = (cols <= rows) & (nonpad[None, :] > 0)
+    if seg:
+        # row-packed short-L mode: ``seg``-row segments are independent
+        # batch rows sharing one tile — block-diagonal causal mask
+        mask &= (cols // seg) == (rows // seg)
     outs = []
     for h in range(H):
         qh = q_ref[0][:, h * dqk:(h + 1) * dqk]     # [TQ, dqk]
@@ -407,12 +411,15 @@ def _fwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
 
 def _bwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
                       g_ref, dq_ref, dk_ref, dv_ref, du_ref, dgam_ref, dbet_ref,
-                      *, n_real: int, H: int, dqk: int, dv: int, eps: float):
+                      *, n_real: int, H: int, dqk: int, dv: int, eps: float,
+                      seg: int = 0):
     nonpad = nonpad_ref[0, 0]
     L = q_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     mask = (cols <= rows) & (nonpad[None, :] > 0)
+    if seg:
+        mask &= (cols // seg) == (rows // seg)
 
     # recompute attention (concatenated activation) in f32
     outs = []
@@ -478,15 +485,17 @@ def _bwd_gated_kernel(nonpad_ref, q_ref, k_ref, v_ref, u_ref, gam_ref, bet_ref,
         ).astype(dk_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _hstu_gated_flat(q, k, v, u, gamma, beta, nonpad, H: int, dqk: int,
-                     dv: int, eps: float, interpret: bool):
+                     dv: int, eps: float, interpret: bool, seg: int = 0,
+                     n_real: int = 0):
     out, _ = _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps,
-                        interpret)
+                        interpret, seg, n_real)
     return out
 
 
-def _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret):
+def _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret,
+               seg=0, n_real=0):
     B, L, Fq = q.shape
     F = v.shape[-1]
     L_pad = _round_up(L, 128)
@@ -501,8 +510,8 @@ def _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret):
 
     grid = (B, L_pad // tq)
     out = pl.pallas_call(
-        functools.partial(_fwd_gated_kernel, n_real=L, tq=tq, H=H, dqk=dqk,
-                          dv=dv, eps=eps),
+        functools.partial(_fwd_gated_kernel, n_real=n_real or L, tq=tq, H=H,
+                          dqk=dqk, dv=dv, eps=eps, seg=seg),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, L_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -525,7 +534,7 @@ def _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret):
     return out[:, :L], (q, k, v, u, gamma, beta, nonpad)
 
 
-def _bwd_gated(H, dqk, dv, eps, interpret, res, g):
+def _bwd_gated(H, dqk, dv, eps, interpret, seg, n_real, res, g):
     q, k, v, u, gamma, beta, nonpad = res
     B, L, Fq = q.shape
     F = v.shape[-1]
@@ -542,8 +551,8 @@ def _bwd_gated(H, dqk, dv, eps, interpret, res, g):
     spec_q = pl.BlockSpec((1, L_pad, Fq), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     spec_f = pl.BlockSpec((1, L_pad, F), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     dq, dk, dvv, du, dgam, dbet = pl.pallas_call(
-        functools.partial(_bwd_gated_kernel, n_real=L, H=H, dqk=dqk, dv=dv,
-                          eps=eps),
+        functools.partial(_bwd_gated_kernel, n_real=n_real or L, H=H, dqk=dqk,
+                          dv=dv, eps=eps, seg=seg),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, L_pad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -573,8 +582,10 @@ def _bwd_gated(H, dqk, dv, eps, interpret, res, g):
 
 
 _hstu_gated_flat.defvjp(
-    lambda q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret:
-        _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret),
+    lambda q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps, interpret, seg,
+    n_real:
+        _fwd_gated(q, k, v, u, gamma, beta, nonpad, H, dqk, dv, eps,
+                   interpret, seg, n_real),
     _bwd_gated,
 )
 
@@ -587,10 +598,31 @@ def hstu_attention_gated_pallas(q, k, v, u, gamma, beta, mask, num_heads: int,
     uvqk split, reference hstu.py:241-290); gamma/beta [H·dv] LN affine;
     mask [B, 1|H, L, L] with the causal & nonpad-key structure.
     → gated activation [B, L, H·dv].
+
+    Short-L mode: when L ≤ 64, R = 128 // seg batch rows are PACKED into one
+    128-row tile (block-diagonal causal mask) — the kernel grid shrinks ×R
+    and the padded-tile attention FLOPs amortize over R real rows, which is
+    what made the fused path lose to XLA at L=50 (BASELINE.md:50).
     """
     B, L, Fq = q.shape
     F = v.shape[-1]
     H = num_heads
     nonpad = mask[:, 0, L - 1, :]
+    seg = 0
+    if L <= 64:
+        # bf16 sublane packing wants multiples of 16; segments of 32/64 rows
+        seg = max(32, _round_up(L, 32))
+        R = 128 // seg
+        Bp = _round_up(B, R)
+        q, k, v, u = (
+            _pad_to(_pad_to(x, seg, 1), Bp, 0).reshape(Bp // R, R * seg, -1)
+            for x in (q, k, v, u)
+        )
+        nonpad = _pad_to(_pad_to(nonpad, seg, 1), Bp, 0).reshape(
+            Bp // R, R * seg
+        )
+        out = _hstu_gated_flat(q, k, v, u, gamma, beta, nonpad, H, Fq // H,
+                               F // H, eps, interpret, seg, L)
+        return out.reshape(Bp, seg, F)[:B, :L]
     return _hstu_gated_flat(q, k, v, u, gamma, beta, nonpad, H, Fq // H,
-                            F // H, eps, interpret)
+                            F // H, eps, interpret, 0, 0)

@@ -56,10 +56,12 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
-    # dense Adam moments of the item-embedding table, present only under
-    # sparse_item_adam (rows touched per step; see trainer/sparse_adam.py)
-    table_m: Any = None
-    table_v: Any = None
+    # interleaved (param, m, v) rows of the item-embedding table, present
+    # only under sparse_item_adam (see trainer/sparse_adam.py — one buffer
+    # ⇒ one gather + one scatter per step). While pmv is set, the params
+    # tree's table leaf is STALE; _sync_item_table() refreshes it at
+    # eval/checkpoint boundaries.
+    pmv: Any = None
 
 
 class Trainer:
@@ -287,11 +289,18 @@ class Trainer:
                 return jax.device_put(leaf, sh)
 
             opt_state = jax.tree.map(keep_or_zero, opt_state, opt_shardings)
-        table_m = table_v = None
+        pmv = None
         if self.sparse_item_adam:
+            from mhrec_tpu.trainer.sparse_adam import init_pmv
+
             table = params["item_embedding"]["embedding"]
-            table_m = jnp.zeros_like(table, dtype=jnp.float32)
-            table_v = jnp.zeros_like(table, dtype=jnp.float32)
+            pmv = init_pmv(table)
+            spec = getattr(getattr(table, "sharding", None), "spec", None)
+            if spec is not None and any(s is not None for s in spec):
+                # row-sharded table → pmv rows shard the same way
+                pmv = jax.device_put(
+                    pmv, NamedSharding(self.mesh, PartitionSpec(spec[0], spec[1])),
+                )
         step0 = jnp.asarray(0, jnp.int32)
         if self.num_processes > 1:
             step0 = jax.device_put(np.asarray(0, np.int32), rep)
@@ -301,8 +310,7 @@ class Trainer:
             opt_state=opt_state,
             step=step0,
             rng=k_state,
-            table_m=table_m,
-            table_v=table_v,
+            pmv=pmv,
         )
         self._build_train_step()
         # resume (reference trainer.py:342-369): load_checkpoint_name points
@@ -445,7 +453,7 @@ class Trainer:
 
         if self.sparse_item_adam:
             from mhrec_tpu.trainer.sparse_adam import (
-                SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
+                SparseAdamConfig, dedup_touched_rows, sparse_adamw_pmv_update,
             )
 
             sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
@@ -458,8 +466,11 @@ class Trainer:
                 ids = batch.pop("unique_ids")
                 umask = batch.pop("unique_mask")
                 batch = dict(batch, step=state.step)
-                table = state.params["item_embedding"]["embedding"]
-                sub0 = table[ids]
+                # ONE gather serves the forward (param rows, slot 0) and the
+                # optimizer (m/v rows); the params tree's table leaf is NOT
+                # read — it stays stale until _sync_item_table()
+                sub3 = state.pmv[ids]                      # [U, 3·D]
+                sub0 = sub3[:, : sub3.shape[-1] // 3]
 
                 def loss_fn(params, sub):
                     out = model.apply(
@@ -478,28 +489,20 @@ class Trainer:
                 )(state.params, sub0)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
-                # row-update from the PRE-apply table: the table's optax
-                # update is set_to_zero, so the values are identical, but
-                # consuming state.params here lets XLA dead-code-eliminate
-                # apply_updates' add-zero over the full [N, D] table (a
-                # runtime-zeros add is a full read+write HBM pass otherwise)
                 if use_dedup:
                     ids_u, mask_u, g_u = dedup_touched_rows(ids, umask, g_sub)
+                    sub3_u = None  # rep slots permuted — regather inside
                 else:
                     ids_u, mask_u, g_u = ids, umask, g_sub
-                new_table, m, v = sparse_adamw_row_update(
-                    state.params["item_embedding"]["embedding"],
-                    state.table_m, state.table_v,
-                    ids_u, mask_u, g_u,
+                    sub3_u = sub3
+                pmv = sparse_adamw_pmv_update(
+                    state.pmv, ids_u, mask_u, g_u,
                     lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
-                )
-                params = dict(params)
-                params["item_embedding"] = dict(
-                    params["item_embedding"], embedding=new_table
+                    sub3=sub3_u,
                 )
                 new_state = state.replace(
                     params=params, opt_state=opt_state, step=state.step + 1,
-                    table_m=m, table_v=v,
+                    pmv=pmv,
                 )
                 return new_state, out
 
@@ -612,6 +615,7 @@ class Trainer:
                     break
             if self.debug and it >= 9:
                 break
+        self._sync_item_table()
         wall = time.time() - t0
         n_done = it + 1 - start_it
         n_examples = n_done * self.config["train_batch_size"]
@@ -646,9 +650,30 @@ class Trainer:
             )
         return self._ckpt_mgr
 
+    def _sync_item_table(self):
+        """Refresh the stale params table leaf from pmv slot 0.
+
+        Under sparse_item_adam the train step updates ONLY the interleaved
+        pmv buffer; every consumer of ``state.params`` outside the hot loop
+        (eval, checkpointing, post-fit inspection) must see the live rows,
+        so evaluate()/save_checkpoint()/fit-exit call this first."""
+        if not self.sparse_item_adam or self.state is None \
+                or self.state.pmv is None:
+            return
+        params = dict(self.state.params)
+        D3 = self.state.pmv.shape[-1]
+        table = self.state.pmv[:, : D3 // 3].astype(
+            params["item_embedding"]["embedding"].dtype
+        )
+        params["item_embedding"] = dict(
+            params["item_embedding"], embedding=table
+        )
+        self.state = self.state.replace(params=params)
+
     def save_checkpoint(self):
         import orbax.checkpoint as ocp
 
+        self._sync_item_table()
         mgr = self._ckpt_manager()
         payload = {
             "params": self.state.params,
@@ -659,9 +684,12 @@ class Trainer:
                 self.best_valid_score if self.best_valid_score is not None else np.nan
             ),
         }
-        if self.state.table_m is not None:
-            payload["table_m"] = self.state.table_m
-            payload["table_v"] = self.state.table_v
+        if self.state.pmv is not None:
+            # on-disk format keeps separate moment tables (params carry the
+            # synced table), interchangeable with dense-optimizer runs
+            D3 = self.state.pmv.shape[-1]
+            payload["table_m"] = self.state.pmv[:, D3 // 3: 2 * D3 // 3]
+            payload["table_v"] = self.state.pmv[:, 2 * D3 // 3:]
         mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
 
@@ -679,17 +707,29 @@ class Trainer:
             "rng": self.state.rng,
             "best_valid_score": np.asarray(np.nan),
         }
-        if self.state.table_m is not None:
-            template["table_m"] = self.state.table_m
-            template["table_v"] = self.state.table_v
+        if self.state.pmv is not None:
+            D3 = self.state.pmv.shape[-1]
+            template["table_m"] = self.state.pmv[:, D3 // 3: 2 * D3 // 3]
+            template["table_v"] = self.state.pmv[:, 2 * D3 // 3:]
         restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
+        pmv = None
+        if self.state.pmv is not None:
+            pmv = jnp.concatenate(
+                [
+                    restored["params"]["item_embedding"]["embedding"].astype(
+                        jnp.float32
+                    ),
+                    restored["table_m"],
+                    restored["table_v"],
+                ],
+                axis=1,
+            )
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
             rng=jnp.asarray(restored["rng"]),
-            table_m=restored.get("table_m"),
-            table_v=restored.get("table_v"),
+            pmv=pmv,
         )
         bvs = float(restored["best_valid_score"])
         self.best_valid_score = None if math.isnan(bvs) else bvs
@@ -809,6 +849,7 @@ class Trainer:
         return self._item_feat_fn(self.state.params)
 
     def evaluate(self, eval_batcher, load_best_model: bool = False):
+        self._sync_item_table()
         if load_best_model:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")

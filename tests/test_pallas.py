@@ -88,7 +88,15 @@ def test_pallas_v2_matches_xla_fwd_and_grads():
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_gated_kernel_matches_unfused_layer():
+@pytest.mark.parametrize(
+    "B,L",
+    [
+        (2, 20),   # short-L row-packed mode: seg=32, 4 rows/tile, B padded
+        (3, 50),   # seg=64, 2 rows/tile, odd B padded to 4 (size4 shape)
+        (2, 70),   # unpacked mode (L > 64)
+    ],
+)
+def test_fused_gated_kernel_matches_unfused_layer(B, L):
     """v3 fused STU kernel (attention + u·LN gating, custom VJP) must match
     the unfused XLA path — outputs and every gradient incl. the LN affine."""
     import jax
@@ -96,7 +104,7 @@ def test_fused_gated_kernel_matches_unfused_layer():
 
     from mhrec_tpu.models.idnet.hstu import STULayer
 
-    B, L, D, h = 2, 20, 128, 2
+    D, h = 128, 2
     dqk = dv = D // h
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
