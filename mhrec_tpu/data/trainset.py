@@ -31,6 +31,50 @@ import numpy as np
 from mhrec_tpu.data.samplers import make_negative_sampler
 
 
+def _wants_position_negatives(config) -> bool:
+    """SASRec/LLMIDRec draw [B, L, num_negatives] per-position negatives
+    IN-MODEL (reference sasrec.py:79-86 torch.randint). Under
+    sparse_item_adam those global draws cannot index the per-batch
+    sub-table, so the batcher pre-samples them (same uniform [1, item_num)
+    distribution) and remaps like everything else; the flag
+    ``batch_position_negatives`` forces the batch path outside sparse mode
+    (e.g. for sparse↔dense parity tests)."""
+    return (
+        str(config["model"]) in ("SASRec", "LLMIDRec")
+        and bool(config["num_negatives"])
+        and (
+            bool(config.get("sparse_item_adam", False))
+            or bool(config.get("batch_position_negatives", False))
+        )
+    )
+
+
+def unique_id_cap(config, num_hosts: int = 1, world_size: int = 1) -> int:
+    """Static size of the per-host unique-id block under sparse_item_adam
+    (shared by the batcher and the trainer's accumulation buffers): every id
+    in the batch + 1 forced pad id, rounded up to bound recompiles."""
+    per_host_rows = config["train_batch_size"] // num_hosts
+    window = config["MAX_ITEM_LIST_LENGTH"] + config["pred_len"]
+    num_neg = config["num_negatives"]
+    per_sample_negs = (
+        math.ceil(num_neg / world_size / config["train_batch_size"])
+        if num_neg else config["MAX_ITEM_LIST_LENGTH"]
+    )
+    by_cat = (
+        config["loss"] == "prior"
+        and bool(config["neg_sample_by_cat"])
+        and config["category_by"] == "item"
+    )
+    n_ids = per_host_rows * window
+    n_ids += per_host_rows * per_sample_negs * (
+        (config["eval_num_cats"] + 1) if by_cat else 1
+    )
+    if _wants_position_negatives(config):
+        # [B, W-1, num_negatives] per-position draws join the unique set
+        n_ids += per_host_rows * (window - 1) * num_neg
+    return ((n_ids + 1 + 511) // 512) * 512
+
+
 class SEQTrainBatcher:
     def __init__(self, config, dataload, world_size: int = 1, host_id: int = 0, num_hosts: int = 1):
         self.dataload = dataload
@@ -83,13 +127,10 @@ class SEQTrainBatcher:
         # gathers/updates only the touched rows — the reference's dense
         # FusedAdam over the whole nn.Embedding has no equivalent trick)
         self.sparse_item_table = bool(config.get("sparse_item_adam", False))
+        self.position_negatives = _wants_position_negatives(config)
+        self.num_position_negatives = int(config["num_negatives"] or 0)
         if self.sparse_item_table:
-            n_ids = self.batch_size * self.window_len
-            n_ids += self.batch_size * self.num_negatives * (
-                (self.eval_num_cats + 1) if self.neg_sample_by_cat else 1
-            )
-            # +1 for the forced pad id 0; round up to bound recompiles
-            self.unique_cap = ((n_ids + 1 + 511) // 512) * 512
+            self.unique_cap = unique_id_cap(config, num_hosts=num_hosts)
 
         if self.category_by == "user" and self.return_tag_mask:
             n_clusters = max(dataload.category_to_int.values()) + 1
@@ -171,12 +212,24 @@ class SEQTrainBatcher:
         else:
             batch["tag_categories"] = np.zeros((B, 0, 0), dtype=np.int8)
 
+        if self.position_negatives:
+            # per-position uniform draws matching the reference's in-model
+            # torch.randint [1, item_num) (sasrec.py:79-86) — pre-sampled on
+            # the host so sparse mode can remap them to sub-table indices
+            batch["pos_neg_items"] = rng.integers(
+                1, self.item_num,
+                size=(B, W - 1, self.num_position_negatives),
+            ).astype(np.int32)
+
         if self.sparse_item_table:
             # AFTER all global-id lookups (tags above): remap items/neg_items
             # to local indices into the per-batch unique sub-table. Index 0 is
             # always the pad item (id 0), so pad checks (== 0) keep working.
+            remap_keys = ["items", "neg_items"] + (
+                ["pos_neg_items"] if self.position_negatives else []
+            )
             all_ids = np.concatenate(
-                [[0], batch["items"].ravel(), batch["neg_items"].ravel()]
+                [[0]] + [batch[k].ravel() for k in remap_keys]
             )
             uniq = np.unique(all_ids)  # sorted, uniq[0] == 0
             n = len(uniq)
@@ -187,10 +240,8 @@ class SEQTrainBatcher:
             mask[:n] = 1.0
             batch["unique_ids"] = ids
             batch["unique_mask"] = mask
-            batch["items"] = np.searchsorted(uniq, batch["items"]).astype(np.int32)
-            batch["neg_items"] = np.searchsorted(uniq, batch["neg_items"]).astype(
-                np.int32
-            )
+            for k in remap_keys:
+                batch[k] = np.searchsorted(uniq, batch[k]).astype(np.int32)
             if self.num_hosts > 1:
                 # multi-host: the global sub-table is the concat of per-host
                 # [U_cap] blocks; this host's local indices shift by its block
@@ -200,7 +251,7 @@ class SEQTrainBatcher:
                 # global dedup (sparse_adam.dedup_touched_rows) sums their
                 # gradients before the nonlinear Adam update.
                 off = self.host_id * self.unique_cap
-                for key in ("items", "neg_items"):
+                for key in remap_keys:
                     v = batch[key]
                     batch[key] = np.where(v > 0, v + off, 0).astype(np.int32)
         return batch

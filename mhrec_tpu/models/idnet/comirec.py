@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mhrec_tpu.models.idnet.hstu import STULayer
-from mhrec_tpu.models.layers import cosine_normalize, trunc_normal_init
+from mhrec_tpu.models.layers import ItemEmbed, cosine_normalize, trunc_normal_init
 from mhrec_tpu.models.losses import clamp_logit_scale
 from mhrec_tpu.utils.enums import InputType
 
@@ -87,7 +87,7 @@ class _InterestTrunk(nn.Module):
 
     def setup(self):
         D = self.hstu_embedding_size
-        self.item_embedding = nn.Embed(
+        self.item_embedding = ItemEmbed(
             self.item_num, self.item_embedding_size, embedding_init=trunc_normal_init
         )
         if self.item_embedding_size != D:

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mhrec_tpu.models.layers import cosine_normalize, trunc_normal_init
+from mhrec_tpu.models.layers import ItemEmbed, cosine_normalize, trunc_normal_init
 from mhrec_tpu.models.losses import clamp_logit_scale
 from mhrec_tpu.utils.enums import InputType
 
@@ -75,7 +75,7 @@ class DualVAE(nn.Module):
 
     def setup(self):
         A, K, D = self.num_aspects, self.latent_dim, self.embedding_dim
-        self.item_embedding = nn.Embed(self.item_num, D, embedding_init=trunc_normal_init)
+        self.item_embedding = ItemEmbed(self.item_num, D, embedding_init=trunc_normal_init)
         self.position_embedding = nn.Embed(
             self.max_seq_length, D, embedding_init=trunc_normal_init
         )

@@ -288,7 +288,9 @@ class HSTU(nn.Module):
         else:
             emb_init = trunc_normal_init
             rows = self.item_num
-        self.item_embedding = nn.Embed(
+        from mhrec_tpu.models.layers import ItemEmbed
+
+        self.item_embedding = ItemEmbed(
             rows, self.item_embedding_size,
             embedding_init=emb_init, name="item_embedding",
         )
@@ -404,26 +406,23 @@ class HSTU(nn.Module):
     def _logit_scale(self):
         return self.logit_scale_fixed if self.fix_temp else self.logit_scale
 
-    def _embed_items(self, items, sub_table=None):
-        """sub_table [U, D_item]: per-batch gathered rows for the sparse
-        item-Adam path — ``items`` then hold LOCAL indices into it (the
-        trainer differentiates w.r.t. the sub-table and updates only the
-        touched rows of the full table)."""
-        if sub_table is not None:
-            emb = sub_table[items]
-        else:
-            emb = self.item_embedding(items)
+    def _embed_items(self, items):
+        """Under ``sparse_item_adam`` the trainer substitutes the gathered
+        per-batch sub-table ([U, D] unique rows) for this module's embedding
+        param and the batch carries LOCAL indices — the lookup code is
+        identical either way (trainer/trainer.py train_step)."""
+        emb = self.item_embedding(items)
         if self.item_id_proj_tower is not None:
             emb = self.item_id_proj_tower(emb)
         return emb
 
-    def encode(self, items_ctx, deterministic: bool = True, sub_table=None):
+    def encode(self, items_ctx, deterministic: bool = True):
         """Trunk forward over the context window.
 
         items_ctx: [B, L] int. Returns output_embs [B, L, D] (model dtype).
         """
         B, L = items_ctx.shape
-        emb = self._embed_items(items_ctx, sub_table)
+        emb = self._embed_items(items_ctx)
         pos = self.position_embedding(jnp.arange(L)[None, :])
         x = (emb + pos).astype(self.dtype)
         non_pad = items_ctx != 0
@@ -474,17 +473,14 @@ class HSTU(nn.Module):
         items = batch["items"]
         neg_items = batch["neg_items"]
         user_mask = batch["masked_index"].astype(bool)
-        sub_table = batch.get("sub_table")
         L = self.max_seq_length
 
-        pos_items_embs = self._embed_items(items, sub_table)  # [B, L+P, D]
+        pos_items_embs = self._embed_items(items)  # [B, L+P, D]
         ctx_items = jnp.where(user_mask[:, :L], items[:, :L], 0)
-        output_embs = self.encode(
-            ctx_items, deterministic=deterministic, sub_table=sub_table
-        )
+        output_embs = self.encode(ctx_items, deterministic=deterministic)
 
         def _neg_norm(col):
-            neg_emb = self._embed_items(neg_items[:, col], sub_table).astype(jnp.float32)
+            neg_emb = self._embed_items(neg_items[:, col]).astype(jnp.float32)
             neg_emb = cosine_normalize(neg_emb)
             return neg_emb.reshape(-1, neg_emb.shape[-1])
 

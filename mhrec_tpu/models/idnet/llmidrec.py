@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mhrec_tpu.models.layers import cosine_normalize
+from mhrec_tpu.models.layers import ItemEmbed, cosine_normalize
 from mhrec_tpu.models.llm.config import LLMConfig
 from mhrec_tpu.models.llm.dummy import DummyLLM
 from mhrec_tpu.models.llm.llama import LlamaBackbone
@@ -39,7 +39,7 @@ class LLMIDRec(nn.Module):
 
     def setup(self):
         D = self.llm_config.hidden_size
-        self.item_embedding = nn.Embed(
+        self.item_embedding = ItemEmbed(
             self.item_num, self.item_embed_dim,
             embedding_init=nn.initializers.normal(0.02),
         )
@@ -83,7 +83,14 @@ class LLMIDRec(nn.Module):
         input_emb = pos_embs[:, :L]
         tgt = cosine_normalize(pos_embs[:, 1:])
 
-        if self.num_negatives:
+        if "pos_neg_items" in batch:
+            # batcher-sampled per-position negatives (same uniform law as
+            # the in-model draw; required under sparse_item_adam — see
+            # trainset._wants_position_negatives)
+            neg = cosine_normalize(
+                self._embed(batch["pos_neg_items"]).astype(jnp.float32)
+            )
+        elif self.num_negatives:
             neg_ids = jax.random.randint(
                 self.make_rng("neg"), (B, L, self.num_negatives), 1, self.item_num
             )

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mhrec_tpu.models.layers import (
+    ItemEmbed,
     TransformerEncoder,
     additive_causal_mask,
     cosine_normalize,
@@ -48,7 +49,7 @@ class SASRec(nn.Module):
 
     def setup(self):
         init = nn.initializers.normal(stddev=self.initializer_range)
-        self.item_embedding = nn.Embed(self.item_num, self.hidden_size, embedding_init=init)
+        self.item_embedding = ItemEmbed(self.item_num, self.hidden_size, embedding_init=init)
         self.position_embedding = nn.Embed(self.max_seq_length, self.hidden_size, embedding_init=init)
         self.trm_encoder = TransformerEncoder(
             n_layers=self.n_layers,
@@ -92,7 +93,14 @@ class SASRec(nn.Module):
         inputs = jnp.where(user_mask[:, :L], items[:, :L], 0)
         targets = items[:, 1:]
 
-        if self.num_negatives:
+        if "pos_neg_items" in batch:
+            # batcher-sampled per-position negatives (same uniform
+            # [1, item_num) law as the in-model draw; required under
+            # sparse_item_adam — see trainset._wants_position_negatives)
+            neg_emb = cosine_normalize(
+                self.item_embedding(batch["pos_neg_items"]).astype(jnp.float32)
+            )
+        elif self.num_negatives:
             neg = jax.random.randint(
                 self.make_rng("neg"), (B, L, self.num_negatives), 1, self.item_num
             )

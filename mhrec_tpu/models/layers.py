@@ -34,6 +34,37 @@ def cosine_normalize(x: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.maximum(norm, 1e-12)
 
 
+class ItemEmbed(nn.Module):
+    """Item-embedding table whose lookups can be redirected to a per-batch
+    sub-table of gathered unique rows.
+
+    Drop-in for ``nn.Embed`` (same param name/shape/init, same ``.embedding``
+    attribute used by ``compute_item_all``), plus the sparse_item_adam hook:
+    when the trainer passes a ``{"sub": …{"table": [U, D]}}`` variable
+    collection, lookups read THAT table (batch ids are then LOCAL indices
+    into it) and the full-table param goes unused — its zero gradient is
+    dead-code-eliminated, and the trainer row-updates only the touched rows
+    (trainer/sparse_adam.py). A variable collection is used instead of
+    substituting the param leaf because flax shape-checks params on
+    retrieval."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: Callable = nn.initializers.normal(stddev=0.02)
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding", self.embedding_init,
+            (self.num_embeddings, self.features),
+        )
+
+    def __call__(self, ids):
+        table = self.embedding
+        if self.has_variable("sub", "table"):
+            table = self.get_variable("sub", "table")
+        return jnp.take(table, ids, axis=0)
+
+
 class ResBlock(nn.Module):
     """Linear + SiLU residual block (reference llm_heads.py:5-40)."""
 

@@ -38,6 +38,51 @@ def _label_tree(params, label_fn):
     return jtu.tree_map_with_path(lambda path, _: label_fn(_path_str(path)), params)
 
 
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
+    """optax.scale_by_adam with independent storage dtypes for BOTH moments
+    (optax only exposes mu_dtype). Math in the gradient dtype (fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _cast(tree, dtype):
+        if dtype is None:
+            return tree
+        return jax.tree.map(lambda x: x.astype(dtype), tree)
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(updates, state, params=None):
+        del params
+        mu = jax.tree.map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1.0 - b1) * g,
+            updates, state.mu,
+        )
+        nu = jax.tree.map(
+            lambda g, n: b2 * n.astype(g.dtype) + (1.0 - b2) * (g * g),
+            updates, state.nu,
+        )
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        out = jax.tree.map(
+            lambda m, n: (m / bc1) / (jnp.sqrt(n / bc2) + eps), mu, nu
+        )
+        return out, optax.ScaleByAdamState(
+            count=count, mu=_cast(mu, mu_dtype), nu=_cast(nu, nu_dtype)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(config, schedule_factory, total_iters: int):
     """Returns (optax transform factory taking params, needs_param_labels).
 
@@ -60,16 +105,25 @@ def build_optimizer(config, schedule_factory, total_iters: int):
     lr_mult_prefix = list(config.get("lr_mult_prefix", []) or [])
     lr_mult_rate = config.get("lr_mult_rate", None)
 
-    # first-moment storage dtype (beyond reference): `adam_mu_dtype:
-    # bfloat16` halves the m-buffer's HBM footprint and per-step traffic
-    # (the update math still runs fp32; optax casts on read/write). The
-    # second moment stays fp32 — its sqrt sits directly in the update scale.
+    # moment storage dtypes (beyond reference): `adam_mu_dtype: bfloat16` /
+    # `adam_nu_dtype: bfloat16` halve the corresponding buffer's HBM
+    # footprint and per-step traffic (update math still runs fp32; cast on
+    # read/write). bf16 keeps fp32's exponent range, so ν never over/under
+    # flows — its 8-bit mantissa puts ~0.2% jitter on sqrt(ν̂), i.e. on the
+    # effective per-parameter LR.
     mu_dtype = config.get("adam_mu_dtype") or None
+    nu_dtype = config.get("adam_nu_dtype") or None
 
     def adamw(lr, weight_decay):
-        return optax.adamw(
-            schedule_factory(lr), b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=weight_decay, mu_dtype=mu_dtype,
+        if nu_dtype is None:
+            return optax.adamw(
+                schedule_factory(lr), b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=weight_decay, mu_dtype=mu_dtype,
+            )
+        return optax.chain(
+            _scale_by_adam_cast(0.9, 0.999, 1e-8, mu_dtype, nu_dtype),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(schedule_factory(lr)),
         )
 
     def make(params):

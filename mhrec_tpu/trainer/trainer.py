@@ -62,6 +62,52 @@ class TrainState:
     # tree's table leaf is STALE; _sync_item_table() refreshes it at
     # eval/checkpoint boundaries.
     pmv: Any = None
+    # gradient-accumulation buffers for the sparse row update
+    # (accumulate_grad > 1): per-micro-step (ids, mask, grad rows); the row
+    # update applies once per boundary on the deduped union
+    acc_ids: Any = None
+    acc_mask: Any = None
+    acc_g: Any = None
+
+
+def _find_item_table_path(params) -> tuple:
+    """Locate the item-embedding table leaf (``…/item_embedding/embedding``)
+    anywhere in the params tree — top-level for HSTU/SASRec/DualVAE/LLMIDRec,
+    nested under ``trunk`` for ComiRec/REMI."""
+    hits = []
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            if k == "item_embedding" and isinstance(v, dict) and "embedding" in v:
+                hits.append(path + (k, "embedding"))
+            else:
+                walk(v, path + (k,))
+
+    walk(params, ())
+    if len(hits) != 1:
+        raise ValueError(
+            f"sparse_item_adam needs exactly one item_embedding table in the "
+            f"params tree; found {hits or 'none'}"
+        )
+    return hits[0]
+
+
+def _get_path(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _set_path(tree, path, value):
+    """Functionally set a leaf, shallow-copying dicts along the path
+    (missing intermediate nodes are created)."""
+    if not path:
+        return value
+    tree = dict(tree) if isinstance(tree, dict) else {}
+    tree[path[0]] = _set_path(tree.get(path[0], {}), path[1:], value)
+    return tree
 
 
 class Trainer:
@@ -93,13 +139,10 @@ class Trainer:
         self.debug = bool(config.get("debug", False))
         self.sparse_item_adam = bool(config.get("sparse_item_adam", False))
         if self.sparse_item_adam:
-            if str(config["model"]) != "HSTU":
+            if str(config["model"]) == "HLLM":
                 raise ValueError(
-                    "sparse_item_adam currently supports the HSTU model only"
-                )
-            if self.accumulate_grad > 1:
-                raise ValueError(
-                    "sparse_item_adam is incompatible with accumulate_grad > 1"
+                    "sparse_item_adam applies to ID-embedding models — the "
+                    "HLLM item tower is an LLM, not an embedding table"
                 )
         # multi-host: per-host unique-id blocks can overlap — dedup + sum
         # gradients inside the jit before the nonlinear Adam row update
@@ -290,10 +333,12 @@ class Trainer:
 
             opt_state = jax.tree.map(keep_or_zero, opt_state, opt_shardings)
         pmv = None
+        acc_ids = acc_mask = acc_g = None
         if self.sparse_item_adam:
             from mhrec_tpu.trainer.sparse_adam import init_pmv
 
-            table = params["item_embedding"]["embedding"]
+            self._table_path = _find_item_table_path(params)
+            table = _get_path(params, self._table_path)
             pmv = init_pmv(table)
             spec = getattr(getattr(table, "sharding", None), "spec", None)
             if spec is not None and any(s is not None for s in spec):
@@ -301,6 +346,21 @@ class Trainer:
                 pmv = jax.device_put(
                     pmv, NamedSharding(self.mesh, PartitionSpec(spec[0], spec[1])),
                 )
+            if self.accumulate_grad > 1:
+                # per-micro-step row-grad buffers; the row update applies on
+                # the deduped union at each accumulation boundary
+                from mhrec_tpu.data.trainset import unique_id_cap
+
+                k = self.accumulate_grad
+                # the jit sees the assembled global batch: one [cap] block
+                # per host (trainset.py make_batch multi-host offsets)
+                U = unique_id_cap(
+                    self.config, num_hosts=self.num_processes
+                ) * self.num_processes
+                D = table.shape[-1]
+                acc_ids = jnp.zeros((k, U), jnp.int32)
+                acc_mask = jnp.zeros((k, U), jnp.float32)
+                acc_g = jnp.zeros((k, U, D), jnp.float32)
         step0 = jnp.asarray(0, jnp.int32)
         if self.num_processes > 1:
             step0 = jax.device_put(np.asarray(0, np.int32), rep)
@@ -311,6 +371,9 @@ class Trainer:
             step=step0,
             rng=k_state,
             pmv=pmv,
+            acc_ids=acc_ids,
+            acc_mask=acc_mask,
+            acc_g=acc_g,
         )
         self._build_train_step()
         # resume (reference trainer.py:342-369): load_checkpoint_name points
@@ -459,6 +522,8 @@ class Trainer:
             sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
             schedule = self.schedule
             use_dedup = self.sparse_dedup
+            table_path = self._table_path
+            k_acc = self.accumulate_grad
 
             def train_step(state: TrainState, batch, extra_vars):
                 rng = jax.random.fold_in(state.rng, state.step)
@@ -473,22 +538,63 @@ class Trainer:
                 sub0 = sub3[:, : sub3.shape[-1] // 3]
 
                 def loss_fn(params, sub):
+                    # model-agnostic sparse lookup: ItemEmbed reads the
+                    # gathered sub-table from the 'sub' collection — the
+                    # batch carries LOCAL indices into it (flax shape-checks
+                    # params on retrieval, so the param leaf can't be
+                    # substituted directly)
+                    sub_col = _set_path({}, table_path[:-1] + ("table",), sub)
                     out = model.apply(
-                        {"params": params, **extra_vars},
-                        dict(batch, sub_table=sub),
+                        {"params": params, "sub": sub_col, **extra_vars},
+                        batch,
                         deterministic=False,
                         rngs={"dropout": drop_rng, "mix": mix_rng, "neg": neg_rng},
                     )
                     return out["loss"], out
 
-                # the table leaf inside params is unused (lookups go through
-                # sub) → its grad is a zeros array the optimizer masks off
-                # and XLA dead-code-eliminates
+                # the table leaf inside arg-0 params is unused (replaced by
+                # sub before apply) → its grad is a zeros array the optimizer
+                # masks off and XLA dead-code-eliminates
                 (loss, out), (grads, g_sub) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(state.params, sub0)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
+
+                if k_acc > 1:
+                    # accumulate this micro-step's rows; apply the deduped
+                    # union once per boundary (MultiSteps-mean parity: the
+                    # summed grads divide by k)
+                    slot = state.step % k_acc
+                    acc_ids = jax.lax.dynamic_update_slice(
+                        state.acc_ids, ids[None], (slot, 0))
+                    acc_mask = jax.lax.dynamic_update_slice(
+                        state.acc_mask, umask[None], (slot, 0))
+                    acc_g = jax.lax.dynamic_update_slice(
+                        state.acc_g, g_sub.astype(jnp.float32)[None],
+                        (slot, 0, 0))
+
+                    def apply_rows(pmv):
+                        ids_u, mask_u, g_u = dedup_touched_rows(
+                            acc_ids.reshape(-1), acc_mask.reshape(-1),
+                            acc_g.reshape(-1, acc_g.shape[-1]) / k_acc,
+                        )
+                        outer = state.step // k_acc
+                        return sparse_adamw_pmv_update(
+                            pmv, ids_u, mask_u, g_u,
+                            lr=schedule(outer), step_count=outer, cfg=sa_cfg,
+                        )
+
+                    pmv = jax.lax.cond(
+                        slot == k_acc - 1, apply_rows, lambda p: p, state.pmv
+                    )
+                    new_state = state.replace(
+                        params=params, opt_state=opt_state,
+                        step=state.step + 1, pmv=pmv,
+                        acc_ids=acc_ids, acc_mask=acc_mask, acc_g=acc_g,
+                    )
+                    return new_state, out
+
                 if use_dedup:
                     ids_u, mask_u, g_u = dedup_touched_rows(ids, umask, g_sub)
                     sub3_u = None  # rep slots permuted — regather inside
@@ -660,15 +766,13 @@ class Trainer:
         if not self.sparse_item_adam or self.state is None \
                 or self.state.pmv is None:
             return
-        params = dict(self.state.params)
         D3 = self.state.pmv.shape[-1]
         table = self.state.pmv[:, : D3 // 3].astype(
-            params["item_embedding"]["embedding"].dtype
+            _get_path(self.state.params, self._table_path).dtype
         )
-        params["item_embedding"] = dict(
-            params["item_embedding"], embedding=table
+        self.state = self.state.replace(
+            params=_set_path(self.state.params, self._table_path, table)
         )
-        self.state = self.state.replace(params=params)
 
     def save_checkpoint(self):
         import orbax.checkpoint as ocp
@@ -716,7 +820,7 @@ class Trainer:
         if self.state.pmv is not None:
             pmv = jnp.concatenate(
                 [
-                    restored["params"]["item_embedding"]["embedding"].astype(
+                    _get_path(restored["params"], self._table_path).astype(
                         jnp.float32
                     ),
                     restored["table_m"],
@@ -730,6 +834,11 @@ class Trainer:
             step=jnp.asarray(restored["step"]),
             rng=jnp.asarray(restored["rng"]),
             pmv=pmv,
+            # accumulation buffers restart empty — checkpoints are written at
+            # eval boundaries, which align with accumulation boundaries
+            acc_ids=self.state.acc_ids,
+            acc_mask=self.state.acc_mask,
+            acc_g=self.state.acc_g,
         )
         bvs = float(restored["best_valid_score"])
         self.best_valid_score = None if math.isnan(bvs) else bvs

@@ -34,14 +34,47 @@ def test_sparse_batch_remap(synth_dir):
     assert (b["unique_ids"][n:] == 0).all()
 
 
-def test_sparse_single_step_matches_dense(synth_dir):
+def _config_for(synth_dir, model: str, **overrides):
+    """Model-specific config (sparse_item_adam is model-agnostic: the
+    trainer substitutes the gathered sub-table for the embedding param)."""
+    files = {
+        "HSTU": ["IDNet/hstu-size1.yaml", "overall/ID.yaml", "IDNet/hstu.yaml"],
+        "SASRec": ["IDNet/sasrec.yaml", "overall/ID.yaml"],
+        "ComiRec": ["IDNet/comirec.yaml", "overall/ID.yaml"],
+        "REMI": ["IDNet/remi.yaml", "overall/ID.yaml"],
+        "DualVAE": ["IDNet/dualvae.yaml", "overall/ID.yaml"],
+    }[model]
+    from mhrec_tpu.config import Config
+
+    base = dict(
+        data_path=synth_dir["data_path"], dataset=synth_dir["name"],
+        text_path=synth_dir["text_path"], MAX_ITEM_LIST_LENGTH=20,
+        train_batch_size=8, eval_batch_size=32, num_negatives=64,
+        tag_version="v1", n_layers=2, n_heads=2, item_embedding_size=32,
+        hstu_embedding_size=32, embedding_size=32, eval_pred_len=4,
+        pred_len=2 if model == "HSTU" else 1, topk=[5, 10], total_iters=2,
+        eval_interval=100,
+    )
+    if model != "HSTU":
+        base["model"] = model
+    base.update(overrides)
+    return Config(config_file_list=files, config_dict=base).finalize()
+
+
+@pytest.mark.parametrize("model", ["HSTU", "SASRec", "ComiRec", "REMI", "DualVAE"])
+def test_sparse_single_step_matches_dense(synth_dir, model):
     """With weight_decay=0, ONE sparse step == one dense AdamW step
-    (untouched rows have zero moments in both; touched rows identical)."""
+    (untouched rows have zero moments in both; touched rows identical) —
+    for EVERY IDNet family (reference FusedAdam universality,
+    trainer.py:292-299)."""
     data = None
     states = {}
     for sparse in (False, True):
-        cfg = make_config(
-            synth_dir, sparse_item_adam=sparse, total_iters=1,
+        cfg = _config_for(
+            synth_dir, model, sparse_item_adam=sparse, total_iters=1,
+            # SASRec draws per-position negatives; route them through the
+            # batcher in BOTH runs so sparse and dense see identical draws
+            batch_position_negatives=True,
             optim_args={"learning_rate": 1e-2, "weight_decay": 0.0},
         )
         if data is None:
@@ -67,6 +100,44 @@ def test_sparse_single_step_matches_dense(synth_dir):
         xs = flat_s[jax.tree_util.keystr(path)]
         np.testing.assert_allclose(
             np.asarray(xd), np.asarray(xs), rtol=2e-4, atol=2e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+@pytest.mark.parametrize("model", ["HSTU", "SASRec"])
+def test_sparse_with_grad_accumulation_matches_dense(synth_dir, model):
+    """accumulate_grad=2: two sparse micro-steps == two dense MultiSteps
+    micro-steps (one optimizer update on the mean gradient; the sparse row
+    update consumes the deduped union of both micro-batches' rows)."""
+    data = None
+    states = {}
+    for sparse in (False, True):
+        cfg = _config_for(
+            synth_dir, model, sparse_item_adam=sparse, accumulate_grad=2,
+            total_iters=1, batch_position_negatives=True,
+            optim_args={"learning_rate": 1e-2, "weight_decay": 0.0},
+        )
+        if data is None:
+            data = InteractionData(cfg).build()
+        t = Trainer(cfg, data)
+        t.setup_model(seed=7)
+        _, train = _one_batch(cfg, data)
+        it = iter(train.epoch_batches(0))
+        for _ in range(2):
+            batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+            t.state, out = t._jit_train_step(t.state, batch)
+        t._sync_item_table()
+        states[sparse] = jax.device_get(t.state.params)
+
+    flat_d = jax.tree_util.tree_leaves_with_path(states[False])
+    flat_s = dict(
+        (jax.tree_util.keystr(p), x)
+        for p, x in jax.tree_util.tree_leaves_with_path(states[True])
+    )
+    for path, xd in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(flat_s[jax.tree_util.keystr(path)]), np.asarray(xd),
+            rtol=2e-4, atol=2e-6,
             err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
         )
 
