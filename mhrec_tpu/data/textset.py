@@ -284,6 +284,7 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         # rows — bounds the splash kernel and compile size; pack_chunk: 0
         # restores the single flat stream
         self.pack_chunk = int(config.get("pack_chunk", 2048) or 0)
+        self._chunk_rows_hw = 0
         self.max_text_length = int(config.get("MAX_TEXT_LENGTH", 64))
         tokenizer = build_tokenizer(
             config.get("item_pretrain_dir"), config.get("dummy_vocab_size", 1024)
@@ -344,9 +345,16 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
             all_lens = np.concatenate([pos_lens, neg_lens])
             import jax as _jax
 
-            batch.update(pack_items(all_tokens, all_lens, bucket=self.pack_bucket,
-                                    n_emb=self.n_emb, chunk=self.pack_chunk,
-                                    chunk_round=_jax.device_count()))
+            packed = pack_items(all_tokens, all_lens, bucket=self.pack_bucket,
+                                n_emb=self.n_emb, chunk=self.pack_chunk,
+                                chunk_round=_jax.device_count(),
+                                min_rows=self._chunk_rows_hw)
+            if self.pack_chunk:
+                # high-water mark: steady state compiles ONE [C, chunk] shape
+                self._chunk_rows_hw = max(
+                    self._chunk_rows_hw, packed["packed_tokens"].shape[0]
+                )
+            batch.update(packed)
             batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
         else:
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
@@ -390,6 +398,7 @@ class BatchTextBatcher:
         )
         self.pack_bucket = int(config.get("pack_bucket", 2048))
         self.pack_chunk = int(config.get("pack_chunk", 2048) or 0)
+        self._chunk_rows_hw = 0
 
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
         n = self.dataload.item_num
@@ -409,9 +418,15 @@ class BatchTextBatcher:
 
                 import jax as _jax
 
-                out.update(pack_items(tokens, lens, bucket=self.pack_bucket,
-                                      n_emb=self.n_emb, chunk=self.pack_chunk,
-                                      chunk_round=_jax.device_count()))
+                packed = pack_items(tokens, lens, bucket=self.pack_bucket,
+                                    n_emb=self.n_emb, chunk=self.pack_chunk,
+                                    chunk_round=_jax.device_count(),
+                                    min_rows=self._chunk_rows_hw)
+                if self.pack_chunk:
+                    self._chunk_rows_hw = max(
+                        self._chunk_rows_hw, packed["packed_tokens"].shape[0]
+                    )
+                out.update(packed)
             else:
                 out["tokens"] = tokens
                 out["lens"] = lens

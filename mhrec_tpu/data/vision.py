@@ -228,6 +228,11 @@ class DynamicImagePreprocessor:
             from PIL import Image
 
             with Image.open(path) as img:
+                # force a full decode: a truncated file whose HEADER parses
+                # would otherwise report a size here while load() falls back
+                # to the default grid — a silent per-item token skew between
+                # the cached text prefix and the spliced image span
+                img.load()
                 return self.grid_for_size(*img.size)
         except Exception:
             return self.default_grid
@@ -489,14 +494,24 @@ class ItemImageStore:
                 # so the largest span (+2 delimiters) fits MAX_TEXT_LENGTH
                 T = int(config.get("MAX_TEXT_LENGTH", 64))
                 budget_px = max(1, (T - 8)) * (ps * merge) ** 2
+                min_px = int(config.get("image_min_pixels", 4 * 28 * 28))
+                max_px = min(
+                    int(config.get("image_max_pixels", 256 * 28 * 28)),
+                    budget_px,
+                )
+                # a MAX_TEXT_LENGTH budget below min_pixels would make
+                # smart_resize emit grids past patch_cap and crash at
+                # data-loading time with a shape error (ADVICE r2)
+                assert min_px <= max_px, (
+                    f"MAX_TEXT_LENGTH={T} leaves an image budget of "
+                    f"{max_px} px < image_min_pixels={min_px}; raise "
+                    f"MAX_TEXT_LENGTH or lower image_min_pixels"
+                )
                 self.dyn = DynamicImagePreprocessor(
                     patch_size=ps, temporal_patch_size=tps,
                     spatial_merge_size=merge,
-                    min_pixels=int(config.get("image_min_pixels", 4 * 28 * 28)),
-                    max_pixels=min(
-                        int(config.get("image_max_pixels", 256 * 28 * 28)),
-                        budget_px,
-                    ),
+                    min_pixels=min_px,
+                    max_pixels=max_px,
                 )
         self.prep = ImagePreprocessor(
             int(config.get("img_height", 224)), int(config.get("img_width", 224)),
@@ -556,6 +571,8 @@ class ItemImageStore:
                     from PIL import Image
 
                     with Image.open(path) as img:
+                        img.load()  # decode — header-only size can lie for
+                        # truncated files while load() falls back (ADVICE r2)
                         ow, oh = img.size
                     n = self.dyn.count_for_size(oh, ow)
                 except Exception:

@@ -36,6 +36,17 @@ class LLMConfig:
     # Max packed-segment length (item text + emb slot) — bounds the splash
     # attention kernel to a causal band in the packed varlen item tower.
     packed_window: int = 0
+    # RoPE scaling (reference vendored modeling_rope_utils.py): None |
+    # 'linear' | 'dynamic' (NTK) | 'yarn'. See llama.rope_parameters.
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_orig_max_pos: int = 0            # original_max_position_embeddings
+    rope_beta_fast: float = 32.0          # yarn
+    rope_beta_slow: float = 1.0           # yarn
+    rope_attention_factor: Optional[float] = None  # yarn mscale override
+    # Mistral sliding-window attention (reference modeling_mistral.py:752):
+    # tokens attend to at most the last `sliding_window` positions. 0 = off.
+    sliding_window: int = 0
 
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "LLMConfig":
@@ -53,6 +64,14 @@ class LLMConfig:
         )
         rope_scaling = raw.get("rope_scaling") or {}
         mrope = rope_scaling.get("mrope_section")
+        # HF spells the discriminator 'rope_type' (new) or 'type' (legacy);
+        # 'default'/'mrope' mean unscaled frequencies
+        rs_type = rope_scaling.get("rope_type", rope_scaling.get("type"))
+        if rs_type in ("default", "mrope"):
+            rs_type = None
+        sliding = raw.get("sliding_window") or 0
+        if raw.get("use_sliding_window") is False:  # qwen2-style gate
+            sliding = 0
         return cls(
             vocab_size=raw["vocab_size"],
             hidden_size=raw["hidden_size"],
@@ -69,6 +88,15 @@ class LLMConfig:
             tie_word_embeddings=raw.get("tie_word_embeddings", False),
             model_type=model_type,
             mrope_section=tuple(mrope) if mrope else None,
+            rope_scaling_type=rs_type,
+            rope_scaling_factor=float(rope_scaling.get("factor", 1.0)),
+            rope_orig_max_pos=int(
+                rope_scaling.get("original_max_position_embeddings", 0) or 0
+            ),
+            rope_beta_fast=float(rope_scaling.get("beta_fast", 32.0)),
+            rope_beta_slow=float(rope_scaling.get("beta_slow", 1.0)),
+            rope_attention_factor=rope_scaling.get("attention_factor"),
+            sliding_window=int(sliding),
         )
 
     @classmethod

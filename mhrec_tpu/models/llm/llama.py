@@ -40,13 +40,77 @@ class RMSNorm(nn.Module):
         return (x * w).astype(dtype)
 
 
-def rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float):
-    """cos/sin tables: positions [B, T] → [B, T, head_dim//2] each."""
-    inv_freq = 1.0 / (
-        theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
-    )
+def rope_parameters(c, head_dim: int, seq_len: int | None = None):
+    """(inv_freq [head_dim//2], attention_scaling) for the configured RoPE
+    scaling variant — semantics of the reference's vendored HF
+    ``modeling_rope_utils.py`` (``_compute_{linear,dynamic_ntk,yarn}_
+    parameters``), verified token-for-token against transformers in
+    tests/test_hf_parity.py."""
+    import math
+
+    base = c.rope_theta
+    d = head_dim
+    exp = np.arange(0, d, 2, dtype=np.float32) / d
+    t = c.rope_scaling_type
+    if t is None:
+        return 1.0 / (base ** exp), 1.0
+    f = c.rope_scaling_factor
+    if t == "linear":
+        return 1.0 / (base ** exp) / f, 1.0
+    if t == "dynamic":
+        # NTK: rescale the base when the sequence outgrows the training
+        # window. HF's `_compute_dynamic_ntk_parameters` uses
+        # max_position_embeddings as the window (its
+        # original_max_position_embeddings is an acknowledged TODO) and
+        # clamps seq_len from below, so at/below the window this is exactly
+        # the unscaled frequencies. The backbone passes its static T — a
+        # compiled shape IS the sequence length, so "dynamic" needs no
+        # runtime recomputation here.
+        orig = c.max_position_embeddings
+        L = max(seq_len or orig, orig)
+        base2 = base * ((f * L / orig) - (f - 1)) ** (d / (d - 2))
+        return 1.0 / (base2 ** exp), 1.0
+    orig = c.rope_orig_max_pos or c.max_position_embeddings
+    if t == "yarn":
+        pos_freqs = base ** exp
+        inv_extrapolation = 1.0 / pos_freqs
+        inv_interpolation = 1.0 / (f * pos_freqs)
+
+        def corr_dim(n_rot):
+            return (d * math.log(orig / (n_rot * 2 * math.pi))) / (
+                2 * math.log(base)
+            )
+
+        low = max(math.floor(corr_dim(c.rope_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(c.rope_beta_slow)), d - 1)
+        if low == high:
+            high += 0.001  # HF's divide-by-zero guard
+        ramp = (np.arange(d // 2, dtype=np.float32) - low) / (high - low)
+        extrapolation_factor = 1.0 - np.clip(ramp, 0.0, 1.0)
+        inv = (
+            inv_interpolation * (1.0 - extrapolation_factor)
+            + inv_extrapolation * extrapolation_factor
+        )
+        att = c.rope_attention_factor
+        if att is None:
+            att = 0.1 * math.log(f) + 1.0 if f > 1.0 else 1.0
+        return inv.astype(np.float32), float(att)
+    raise ValueError(f"unsupported rope_scaling type: {t!r}")
+
+
+def rotary_embedding(positions: jnp.ndarray, head_dim: int, config,
+                     seq_len: int | None = None):
+    """cos/sin tables: positions [B, T] → [B, T, head_dim//2] each.
+    ``config`` is an LLMConfig (scaling-aware) or a plain theta float."""
+    if isinstance(config, (int, float)):
+        inv_freq = 1.0 / (
+            config ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
+        )
+        scale = 1.0
+    else:
+        inv_freq, scale = rope_parameters(config, head_dim, seq_len)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq[None, None, :]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * scale, jnp.sin(freqs) * scale
 
 
 def mrope_rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float,
@@ -123,18 +187,23 @@ class LlamaAttention(nn.Module):
             # packed_window bounds the splash kernel to a causal band
             from mhrec_tpu.models.llm.packed import packed_attention
 
+            # a sliding window tighter than the packed band wins: splash
+            # LocalMask(left=w) allows i-j <= w, so mistral's
+            # "attend to the last `sw` tokens" is left = sw - 1
+            w = c.packed_window or None
+            if c.sliding_window and (w is None or c.sliding_window - 1 < w):
+                w = c.sliding_window - 1
             if segment_ids.ndim == 2:
                 # chunked packing [C, chunk]: one splash call per chunk row
                 # (vmapped) — kernel grid bounded by the chunk length
                 ctx = jax.vmap(
                     lambda qq, kk, vv, ss: packed_attention(
-                        qq, kk, vv, ss, window=c.packed_window or None
+                        qq, kk, vv, ss, window=w
                     )
                 )(q, k, v, segment_ids)
             else:
                 ctx = packed_attention(
-                    q[0], k[0], v[0], segment_ids,
-                    window=c.packed_window or None,
+                    q[0], k[0], v[0], segment_ids, window=w,
                 )[None]
             ctx = ctx.reshape(B, T, D)
         else:
@@ -282,6 +351,14 @@ class LlamaBackbone(nn.Module):
             mask = keep[:, None, None, :]
             if causal:
                 tri = jnp.tril(jnp.ones((T, T), bool))
+                if c.sliding_window:
+                    # mistral sliding-window attention (reference
+                    # modeling_mistral.py:752): token i attends to
+                    # j ∈ (i - sliding_window, i]
+                    idx = jnp.arange(T)
+                    tri = tri & (
+                        idx[:, None] - idx[None, :] < c.sliding_window
+                    )
                 mask = mask & tri[None, None]
             mask_bias = jnp.where(mask, 0.0, jnp.finfo(jnp.float32).min)
         if position_ids is None:
@@ -295,7 +372,7 @@ class LlamaBackbone(nn.Module):
         else:
             if position_ids.ndim == 3:
                 position_ids = position_ids[0]
-            cos, sin = rotary_embedding(position_ids, dh, c.rope_theta)
+            cos, sin = rotary_embedding(position_ids, dh, c, seq_len=T)
 
         layer_cls = LlamaLayer
         if self.gradient_checkpointing:

@@ -23,13 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def packed_attention_dense(q, k, v, segment_ids):
-    """q/k/v: [S, H, dh]; segment_ids: [S] (0 = padding). → [S, H, dh]."""
+def packed_attention_dense(q, k, v, segment_ids, window: Optional[int] = None):
+    """q/k/v: [S, H, dh]; segment_ids: [S] (0 = padding). → [S, H, dh].
+    ``window``: LocalMask semantics (i attends to j with i - j <= window) —
+    matches the splash path so sliding-window configs are CPU-testable."""
     S = q.shape[0]
     dh = q.shape[-1]
     same = (segment_ids[:, None] == segment_ids[None, :]) & (segment_ids > 0)[None, :]
     causal = jnp.tril(jnp.ones((S, S), bool))
     mask = same & causal
+    if window is not None:
+        idx = jnp.arange(S)
+        mask = mask & (idx[:, None] - idx[None, :] <= window)
     scores = jnp.einsum("shd,thd->hst", q, k) / np.sqrt(dh)
     scores = jnp.where(mask[None], scores.astype(jnp.float32), jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
@@ -73,11 +78,22 @@ def packed_attention(q, k, v, segment_ids, impl: str = "auto",
         impl == "auto" and jax.devices()[0].platform == "tpu"
     ):
         return packed_attention_splash(q, k, v, segment_ids, window=window)
-    return packed_attention_dense(q, k, v, segment_ids)
+    return packed_attention_dense(q, k, v, segment_ids, window=window)
+
+
+def round_chunk_rows(rows: int, chunk_round: int = 0, min_rows: int = 0) -> int:
+    """Compiled-shape policy for the chunked-packing row count: round up to
+    a quantum of ``max(8, chunk_round)`` (chunk_round = device_count for
+    batch-dim sharding) and never below ``min_rows`` — the caller's
+    high-water mark, so steady-state batches reuse ONE compiled shape
+    instead of recompiling on every text-length fluctuation."""
+    r = max(8, chunk_round or 0)
+    return max(((max(rows, 1) + r - 1) // r) * r, min_rows)
 
 
 def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048,
-               n_emb: int = 1, chunk: int = 0, chunk_round: int = 0):
+               n_emb: int = 1, chunk: int = 0, chunk_round: int = 0,
+               min_rows: int = 0):
     """Host-side packing: padded [N, T] token rows (+``n_emb`` emb slots per
     item) → flat stream.
 
@@ -87,11 +103,13 @@ def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048,
     rounded up to a multiple of ``bucket`` to bound recompilation.
 
     ``chunk>0``: first-fit items into rows of exactly ``chunk`` tokens →
-    [C, chunk] arrays (C rounded up to a multiple of 4). Attention then runs
-    per chunk-row: the splash kernel's grid is bounded by ``chunk``
-    regardless of batch size (a single 100k+-token stream at text length
-    256 crashes the XLA TPU compile), chunk rows batch on the MXU, and
-    ``emb_slots`` index the flattened [C·chunk] stream.
+    [C, chunk] arrays, C per ``round_chunk_rows`` (quantum + the caller's
+    high-water mark — a raw per-batch count recompiles the whole train step
+    whenever item text lengths shift). Attention then runs per chunk-row:
+    the splash kernel's grid is bounded by ``chunk`` regardless of batch
+    size (a single 100k+-token stream at text length 256 crashes the XLA
+    TPU compile), chunk rows batch on the MXU, and ``emb_slots`` index the
+    flattened [C·chunk] stream.
     """
     N = len(lens)
     seg_lens = lens + n_emb  # trailing emb slots
@@ -114,9 +132,7 @@ def pack_items(tokens: np.ndarray, lens: np.ndarray, bucket: int = 2048,
             else:
                 rows.append([i])
                 space.append(chunk - need)
-        # C must divide the device mesh for batch-dim sharding
-        r = chunk_round or 4
-        C = max(r, ((len(rows) + r - 1) // r) * r)
+        C = round_chunk_rows(len(rows), chunk_round, min_rows)
         packed = np.zeros((C, chunk), dtype=np.int32)
         seg = np.zeros((C, chunk), dtype=np.int32)
         pos = np.zeros((C, chunk), dtype=np.int32)

@@ -81,6 +81,14 @@ def compute_multihead_losses(
     if run_prior:
         tags = tag_categories.astype(bool)
         seg_len = P if model.head_interaction == "additive" else model.seg_len
+        if model.head_interaction != "additive" \
+                and model.num_segment_head * seg_len != P:
+            raise ValueError(
+                "prior loss with num_segment_head > 1 requires "
+                "medusa_num_layers >= 1 (the reference builds segment heads "
+                "only under medusa_num_layers > 0, hstu.py:439-445, and "
+                "crashes otherwise)"
+            )
         segment_for_pred = np.arange(P) // seg_len
         per_pred_accum = jnp.zeros(P, jnp.float32)
         global_neg = (

@@ -427,10 +427,12 @@ class Trainer:
                 per_item = 2 + n_emb  # example rows: 2 tokens + emb slots
                 chunk = int(c.get("pack_chunk", 2048) or 0)
                 if chunk:
+                    from mhrec_tpu.models.llm.packed import round_chunk_rows
+
                     per_row = max(1, chunk // per_item)
-                    r = max(4, jax.device_count())
                     c0 = -(-n_items // per_row)   # ceil items/row-capacity
-                    C = max(r, -(-c0 // r) * r)   # round up to r
+                    # same rounding policy as pack_items (ADVICE r2)
+                    C = round_chunk_rows(c0, jax.device_count())
                     batch["packed_tokens"] = jnp.ones((C, chunk), jnp.int32)
                     batch["packed_segment_ids"] = jnp.ones((C, chunk), jnp.int32)
                     batch["packed_positions"] = jnp.zeros((C, chunk), jnp.int32)

@@ -111,6 +111,7 @@ def test_save_for_eval_export(synth_dir, tmp_path_factory):
         assert "topk_indices" in z and "user_embs" in z
 
 
+@pytest.mark.slow  # heavy e2e (r2 VERDICT: keep the default suite fast)
 def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
     """Corpus-scale eval mode (host-resident item table, chunk-outer
     streaming) must produce identical metrics to the device-table path."""

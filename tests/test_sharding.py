@@ -212,6 +212,7 @@ def test_tensor_parallel_hllm_towers(synth_dir, tmp_path_factory, devices, tmp_p
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
 
 
+@pytest.mark.slow  # heavy e2e (r2 VERDICT: keep the default suite fast)
 def test_fsdp_param_sharding_matches_replicated(synth_dir, tmp_path_factory, devices, tmp_path):
     """ZeRO-3 / FSDP (reference DeepSpeed stage 3, trainer.py:439-446): with
     ``fsdp: true`` every large tower parameter (and its Adam state) shards

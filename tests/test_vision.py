@@ -602,6 +602,7 @@ def test_dynamic_preprocessor_capacity_arrays(tmp_path):
     assert vb.sum() > 0 and nb == vb.sum() // 4
 
 
+@pytest.mark.slow  # heavy e2e (r2 VERDICT: keep the default suite fast)
 def test_dynamic_matches_static_when_sizes_equal(synth_dir, tmp_path_factory,
                                                  tmp_path):
     """With every image at one native size, the dynamic path must reproduce
@@ -687,6 +688,7 @@ def test_dynamic_matches_static_when_sizes_equal(synth_dir, tmp_path_factory,
     np.testing.assert_allclose(dyn_embs, st_embs, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow  # heavy e2e (r2 VERDICT: keep the default suite fast)
 def test_dynamic_mixed_sizes_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     """Images at DIFFERENT native sizes in one batch: per-item spans differ,
     the run trains + evaluates, and each item's token stream carries exactly
@@ -803,6 +805,7 @@ def test_anyres_preprocessor_dynamic_maps(tmp_path):
     assert nb == 16 and (tok_b[16:] == -1).all()
 
 
+@pytest.mark.slow  # heavy e2e (r2 VERDICT: keep the default suite fast)
 def test_dynamic_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     """LLaVA item tower with per-image pinpoints: mixed aspect ratios in one
     batch, variable spans, train + eval."""

@@ -166,18 +166,28 @@ def bench_freeze(layers):
     }
 
 
-def bench_pair(layers):
-    """Full two-tower packed train step at 256 tokens."""
-    t_dir = tower_dir(n_layers=layers)
+def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None):
+    """Full two-tower packed train step at 256 tokens.
+
+    The protocol 2×1.1B pair cannot fit one 16 GB v5e chip: beyond the fp32
+    params + bf16 moments, full remat still saves each layer's residual
+    input over the ~177k-token packed stream (~178·hidden KB/layer). The
+    ladder walks tower sizes down until one fits; the FSDP dryrun
+    (tools/dryrun_hllm_1b.py) covers the protocol scale across ≥2 chips.
+    """
+    intermediate = intermediate or int(hidden * 11 // 4)
+    t_dir = tower_dir(n_layers=layers, hidden=hidden, heads=heads,
+                      kv_heads=kv, intermediate=intermediate)
     config, data, train, trainer = build(
         dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
              item_llm_init=False, user_llm_init=False, dummy_llm=False,
-             packed_item_tower=True, adam_mu_dtype="bfloat16"),
+             packed_item_tower=True, adam_mu_dtype="bfloat16",
+             adam_nu_dtype="bfloat16"),
     )
     p_all = n_params(trainer.state.params)
     step_ms = _time_train(trainer, train, steps=8)
     return {
-        "metric": f"hllm_train_pair_{layers}L2048d_{p_all/1e9:.2f}B-total_seq10_txt256_bs16_neg512_packed",
+        "metric": f"hllm_train_pair_{layers}L{hidden}d_{p_all/1e9:.2f}B-total_seq10_txt256_bs16_neg512_packed",
         "step_ms": round(step_ms, 1),
         "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
     }
