@@ -182,6 +182,7 @@ class InMemoryInteractionData:
         self.item_interact_weights = None
         self.item_weights_by_cat = None
         self.item_fine_tag = None
+        self.item_text = None  # text batchers render "unknown item"
         self.counter = {"user_id": {}, "item_id": {}}
         if num_categories > 1:
             cat = rng.integers(0, num_categories, size=num_items)

@@ -25,11 +25,15 @@ pipeline runs hermetically (tests, synthetic data).
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
 from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from mhrec_tpu.data.trainset import SEQTrainBatcher
+
+logger = logging.getLogger(__name__)
 
 
 class HashTokenizer:
@@ -127,6 +131,9 @@ class ItemTextCache:
                 "or shrink img_height/img_width"
             )
         self._cache: Dict[int, np.ndarray] = {}
+        # full-corpus token matrix (disk cache): [item_num, T] + lens
+        self._matrix = None
+        self._lens = None
 
     def render(self, item_id: int) -> str:
         df = self.dataload.item_text
@@ -139,6 +146,8 @@ class ItemTextCache:
         return " ".join(str(p) for p in parts) or "unknown item"
 
     def tokens(self, item_id: int) -> np.ndarray:
+        if self._matrix is not None:
+            return self._matrix[item_id, : self._lens[item_id]]
         arr = self._cache.get(item_id)
         if arr is None:
             prefix = self.image_prefix
@@ -160,6 +169,11 @@ class ItemTextCache:
         """→ (tokens [N, T+n_emb] with trailing emb slot(s), lens [N])."""
         T = self.max_text_length
         N = len(item_ids)
+        if self._matrix is not None:
+            ids = np.asarray(item_ids, dtype=np.int64)
+            out = np.zeros((N, T + self.n_emb), dtype=np.int32)
+            out[:, : self._matrix.shape[1]] = self._matrix[ids]
+            return out, self._lens[ids].astype(np.int32)
         out = np.zeros((N, T + self.n_emb), dtype=np.int32)
         lens = np.empty(N, dtype=np.int32)
         for i, iid in enumerate(item_ids):
@@ -167,6 +181,72 @@ class ItemTextCache:
             out[i, : len(ids)] = ids
             lens[i] = len(ids)
         return out, lens
+
+    # -- disk persistence (VERDICT r2 #6: the corpus tokenize is static per
+    # dataset — persist it once instead of paying the ~670 s cold cost per
+    # process at protocol scale) --------------------------------------------
+    def _fingerprint(self, dataset_name: str, item_num: int) -> str:
+        import hashlib
+        import json as _json
+
+        tok = self.tokenizer
+        probe = self.tokenizer.encode(self.render(min(1, item_num - 1)),
+                                      self.max_text_length)
+        spec = dict(
+            dataset=dataset_name, item_num=item_num,
+            text_keys=self.text_keys, prompt=self.item_prompt,
+            T=self.max_text_length, n_emb=self.n_emb,
+            vocab=getattr(tok, "vocab_size", None),
+            static_prefix=(None if self.image_prefix is None
+                           else self.image_prefix.tolist()),
+            dynamic_images=self.image_store is not None,
+            probe=list(map(int, probe[:16])),  # content guard: tokenizer or
+            # item-text drift changes the key, never serves stale tokens
+        )
+        return hashlib.sha256(
+            _json.dumps(spec, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def _cache_path(self, cache_dir: str, dataset_name: str, item_num: int):
+        return os.path.join(
+            cache_dir,
+            f"tokens_{dataset_name}_{self._fingerprint(dataset_name, item_num)}.npz",
+        )
+
+    def load_disk_cache(self, cache_dir: str, dataset_name: str,
+                        item_num: int) -> bool:
+        """Attach a previously persisted full-corpus token matrix."""
+        path = self._cache_path(cache_dir, dataset_name, item_num)
+        if not os.path.exists(path):
+            return False
+        z = np.load(path)
+        mat, lens = z["tokens"], z["lens"]
+        if mat.shape[0] != item_num:
+            return False
+        self._matrix, self._lens = mat, lens
+        logger.info("token cache hit: %s (%d items)", path, item_num)
+        return True
+
+    def build_disk_cache(self, cache_dir: str, dataset_name: str,
+                         item_num: int) -> str:
+        """Tokenize the whole corpus once and persist it (atomic rename)."""
+        if self.load_disk_cache(cache_dir, dataset_name, item_num):
+            return self._cache_path(cache_dir, dataset_name, item_num)
+        T = self.max_text_length
+        mat = np.zeros((item_num, T), dtype=np.int32)
+        lens = np.empty(item_num, dtype=np.int32)
+        for iid in range(item_num):
+            ids = self.tokens(iid)
+            mat[iid, : len(ids)] = ids
+            lens[iid] = len(ids)
+        os.makedirs(cache_dir, exist_ok=True)
+        path = self._cache_path(cache_dir, dataset_name, item_num)
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, tokens=mat, lens=lens)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+        self._matrix, self._lens = mat, lens
+        self._cache.clear()
+        return path
 
 
 def image_special_ids(tokenizer):
@@ -294,14 +374,20 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         )
         if self.image_store is not None and self.packed_item_tower:
             raise ValueError("use_image is incompatible with packed_item_tower")
-        if self.num_hosts > 1 and (self.packed_item_tower or self.dedup_items):
-            # both modes emit per-host arrays whose static shapes (pack
-            # buckets / dedup buckets) depend on per-host data — they cannot
-            # be concatenated into one coherent global batch yet; the dense
-            # per-occurrence tower is multi-host-safe
+        if self.num_hosts > 1 and self.dedup_items:
+            # dedup buckets have per-host data-dependent static shapes — they
+            # cannot be concatenated into one coherent global batch; the
+            # dense per-occurrence tower is multi-host-safe
             raise ValueError(
-                "packed_item_tower / dedup_items are single-process only; "
-                "use the dense item tower under multi-host"
+                "dedup_items is single-process only; use the dense or "
+                "packed item tower under multi-host"
+            )
+        if self.num_hosts > 1 and self.packed_item_tower \
+                and not int(config.get("pack_chunk", 2048) or 0):
+            raise ValueError(
+                "multi-host packed_item_tower requires chunked packing "
+                "(pack_chunk > 0): the legacy flat stream has a per-host "
+                "data-dependent length"
             )
         self.n_emb = max(int(config.get("item_emb_token_n", 1) or 0), 1)
         self.text_cache = ItemTextCache(
@@ -309,6 +395,15 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
             self.max_text_length, image_prefix=image_prefix, n_emb=self.n_emb,
             image_store=self.image_store,
         )
+        cache_dir = _token_cache_dir(config)
+        if cache_dir is not None:
+            # load-only here: the train batcher touches items lazily, so it
+            # never PAYS the full tokenize — but it profits from a corpus
+            # pass (or previous process) having persisted one
+            self.text_cache.load_disk_cache(
+                cache_dir, str(config.get("dataset") or "ds"),
+                dataload.item_num,
+            )
 
     def make_batch(self, rng, loc_idx):
         batch = super().make_batch(rng, loc_idx)
@@ -339,23 +434,48 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
         pos_tokens, pos_lens = self.text_cache.batch(batch["items"].ravel())
         neg_tokens, neg_lens = self.text_cache.batch(batch["neg_items"].ravel())
         if self.packed_item_tower:
-            from mhrec_tpu.models.llm.packed import pack_items
+            from mhrec_tpu.models.llm.packed import pack_items, round_chunk_rows
 
             all_tokens = np.concatenate([pos_tokens, neg_tokens], axis=0)
             all_lens = np.concatenate([pos_lens, neg_lens])
             import jax as _jax
 
+            min_rows = self._chunk_rows_hw
+            if self.num_hosts > 1 and self.pack_chunk:
+                # SPMD lockstep: every host's [C, chunk] block must have the
+                # SAME C each step (the global array is the concat of host
+                # blocks) — derive a deterministic worst-case C instead of
+                # the per-host adaptive high-water mark
+                per_item = self.max_text_length + self.n_emb
+                per_row = max(1, self.pack_chunk // per_item)
+                min_rows = round_chunk_rows(
+                    -(-len(all_lens) // per_row), _jax.device_count()
+                )
             packed = pack_items(all_tokens, all_lens, bucket=self.pack_bucket,
                                 n_emb=self.n_emb, chunk=self.pack_chunk,
                                 chunk_round=_jax.device_count(),
-                                min_rows=self._chunk_rows_hw)
+                                min_rows=min_rows)
             if self.pack_chunk:
                 # high-water mark: steady state compiles ONE [C, chunk] shape
                 self._chunk_rows_hw = max(
                     self._chunk_rows_hw, packed["packed_tokens"].shape[0]
                 )
-            batch.update(packed)
-            batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
+            if self.num_hosts > 1 and self.pack_chunk:
+                C = packed["packed_tokens"].shape[0]
+                assert C == min_rows, (C, min_rows)
+                # split emb_slots into pos/neg blocks so the GLOBAL gather
+                # order after host-block concat is [h0-pos, h1-pos, …,
+                # h0-neg, h1-neg, …] — matching the global items/neg_items
+                # row order. Flat indices shift by this host's block offset.
+                off = self.host_id * C * self.pack_chunk
+                slots = packed.pop("emb_slots") + off
+                n_pos = pos_tokens.shape[0]
+                packed["pos_emb_slots"] = slots[:n_pos]
+                packed["neg_emb_slots"] = slots[n_pos:]
+                batch.update(packed)
+            else:
+                batch.update(packed)
+                batch["n_pos_items"] = np.asarray(pos_tokens.shape[0], np.int32)
         else:
             batch["pos_tokens"], batch["pos_token_lens"] = pos_tokens, pos_lens
             batch["neg_tokens"], batch["neg_token_lens"] = neg_tokens, neg_lens
@@ -365,6 +485,19 @@ class TextSEQTrainBatcher(SEQTrainBatcher):
                 _emit_image_keys(batch, "neg", batch["neg_items"].ravel(),
                                  neg_tokens, self.image_store, self.text_cache)
         return batch
+
+
+def _token_cache_dir(config):
+    """Resolve the corpus token-cache directory: `token_cache_dir` config
+    key, default `{data_path}/.token_cache`; `false` disables."""
+    v = config.get("token_cache_dir")
+    if v is False or (isinstance(v, str) and v.lower() == "false"):
+        return None
+    if isinstance(v, str) and v:
+        return v
+    if config.get("data_path"):
+        return os.path.join(str(config["data_path"]), ".token_cache")
+    return None
 
 
 class BatchTextBatcher:
@@ -399,6 +532,14 @@ class BatchTextBatcher:
         self.pack_bucket = int(config.get("pack_bucket", 2048))
         self.pack_chunk = int(config.get("pack_chunk", 2048) or 0)
         self._chunk_rows_hw = 0
+        cache_dir = _token_cache_dir(config)
+        if cache_dir is not None:
+            # the corpus pass touches EVERY item anyway — tokenize once,
+            # persist, and every later process/eval starts warm
+            self.text_cache.build_disk_cache(
+                cache_dir, str(config.get("dataset") or "ds"),
+                dataload.item_num,
+            )
 
     def batches(self) -> Iterator[Dict[str, np.ndarray]]:
         n = self.dataload.item_num

@@ -404,9 +404,19 @@ class HLLM(nn.Module):
                 return cosine_normalize(neg.astype(jnp.float32)).reshape(-1, neg.shape[-1])
         elif self.packed_item_tower:
             B, W = batch["items"].shape
+            if "pos_emb_slots" in batch:
+                # multi-host: per-host [C, chunk] blocks concatenated along
+                # the row axis; pos/neg slot blocks arrive pre-split so the
+                # global gather order matches the global batch row order
+                # (data/textset.py packed multi-host branch)
+                emb_slots = jnp.concatenate(
+                    [batch["pos_emb_slots"], batch["neg_emb_slots"]]
+                )
+            else:
+                emb_slots = batch["emb_slots"]
             all_embs = self.encode_items_packed(
                 batch["packed_tokens"], batch["packed_segment_ids"],
-                batch["packed_positions"], batch["emb_slots"],
+                batch["packed_positions"], emb_slots,
             )
             n_pos = B * W
             pos_items_embs = all_embs[:n_pos].reshape(B, W, -1)

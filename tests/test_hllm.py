@@ -430,3 +430,42 @@ def test_packed_corpus_pass_matches_dense(synth_dir, tmp_path_factory, tmp_path)
     # bf16 towers: the packed layout reorders reductions; ~1e-2 absolute at
     # the rounding edge is expected on isolated elements
     np.testing.assert_allclose(packed, dense, rtol=5e-3, atol=1.5e-2)
+
+
+def test_corpus_token_cache_roundtrip(synth_dir, tmp_path_factory, tmp_path):
+    """Disk-persisted corpus tokenization (VERDICT r2 #6): the corpus
+    batcher builds the cache once; a fresh instance LOADS it (zero
+    re-tokenization), serves identical tokens, and a changed text config
+    keys a different file instead of serving stale tokens."""
+    from mhrec_tpu.data import InteractionData
+    from mhrec_tpu.data.textset import BatchTextBatcher
+
+    cache_dir = str(tmp_path / "tokcache")
+    cfg = _hllm_config(synth_dir, tmp_path_factory,
+                       token_cache_dir=cache_dir)
+    data = InteractionData(cfg).build()
+    b1 = BatchTextBatcher(cfg, data)
+    files = sorted(os.listdir(cache_dir))
+    assert len(files) == 1 and files[0].endswith(".npz")
+    ids = np.arange(data.item_num)
+    tok1, len1 = b1.text_cache.batch(ids)
+
+    b2 = BatchTextBatcher(cfg, data)
+    assert b2.text_cache._matrix is not None  # cache HIT
+    # a hit must not re-tokenize: poison the encoder after construction
+    b2.text_cache.tokenizer.encode = None
+    tok2, len2 = b2.text_cache.batch(ids)
+    np.testing.assert_array_equal(tok1, tok2)
+    np.testing.assert_array_equal(len1, len2)
+
+    # different text config → different fingerprint/file, fresh build
+    cfg3 = _hllm_config(synth_dir, tmp_path_factory,
+                        token_cache_dir=cache_dir, MAX_TEXT_LENGTH=24)
+    BatchTextBatcher(cfg3, data)
+    assert len(os.listdir(cache_dir)) == 2
+
+    # the TRAIN batcher load-only path rides the same file
+    from mhrec_tpu.data.textset import TextSEQTrainBatcher
+
+    tb = TextSEQTrainBatcher(cfg, data)
+    assert tb.text_cache._matrix is not None
