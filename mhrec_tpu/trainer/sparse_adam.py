@@ -7,26 +7,20 @@ traffic dominates the train step (the reference pays it too: DeepSpeed
 FusedAdam over a replicated ``nn.Embedding``, trainer.py:292-295).
 
 Here the trainer differentiates w.r.t. a per-batch gathered sub-table
-(``[U, D]`` unique rows) and this module applies the AdamW update to ONLY
-those rows. Untouched rows receive no update — standard LazyAdam semantics
-(moments of idle rows do not decay, and decoupled weight decay applies only
-on touch); with ``weight_decay=0`` a single step is bit-identical to dense
-AdamW.
+(``[U, D]`` unique rows, served to ANY IDNet model via the ``ItemEmbed``
+'sub' variable collection) and this module applies the AdamW update to ONLY
+those rows via scatter-add, with moments stored dense but touched row-wise.
+Untouched rows receive no update — standard LazyAdam semantics (moments of
+idle rows do not decay, and decoupled weight decay applies only on touch);
+with ``weight_decay=0`` a single step is bit-identical to dense AdamW.
 
-Storage layout (round 3): parameter rows and both moments live INTERLEAVED
-in one ``pmv [N, 3·D]`` buffer (columns [0:D) = params, [D:2D) = m,
-[2D:3D) = v) so the whole update is ONE gather + ONE scatter-add. xprof on
-the size4 bench shape showed XLA's TPU scatter is per-INDEX bound
-(~200 ns/index, a serialized update loop — independent of row width): three
-separate [12k]-row scatters cost 5.7 ms of a 29.6 ms step, the combined
-[12k, 3·D] scatter 2.4 ms. The buffer is 2-D on purpose — a [N, 3, D]
-variant made XLA's layout assignment flip between plane-separated
-(gather-preferred) and row-interleaved (scatter-preferred) tilings, paying
-two full-buffer relayout copies (17.5 ms) per step; 2-D has one layout, and
-the D-multiple column slices are tile-aligned no-ops.
-The params pytree keeps its ``[N, D]`` table leaf for eval/checkpoint
-consumers, but it goes STALE during sparse training; the trainer syncs
-``pmv[:, :D]`` back at eval/checkpoint boundaries.
+Layout note (measured, round 3): an interleaved ``[N, 3·D]`` (param|m|v)
+buffer — one gather + one scatter per step — was built and REVERTED. XLA's
+TPU scatter cost grows with row bytes almost as fast as with index count:
+the combined scatter's in-step win at size4 (4.6 vs 5.7 ms) vanished in
+the end-to-end step, and at the merrec shape it LOST outright (xprof: one
+5.4 ms wide scatter vs three ~1.2 ms narrow ones; step 29.2 vs 26.4 ms).
+Three separate [N, D] buffers are the fast layout.
 
 All scatter updates use ``.at[ids].add(delta * mask)``: padding slots of the
 unique-id buffer alias row 0 with ``mask == 0``, so duplicates contribute
@@ -47,46 +41,38 @@ class SparseAdamConfig(NamedTuple):
     weight_decay: float = 0.0
 
 
-def init_pmv(table: jnp.ndarray) -> jnp.ndarray:
-    """[N, D] parameter table → [N, 3·D] pmv buffer (m = v = 0)."""
-    z = jnp.zeros_like(table, dtype=jnp.float32)
-    return jnp.concatenate([table.astype(jnp.float32), z, z], axis=1)
-
-
-def sparse_adamw_pmv_update(
-    pmv: jnp.ndarray,         # [N, 3·D]: (param | m | v) column blocks
+def sparse_adamw_row_update(
+    table: jnp.ndarray,       # [N, D] full parameter table
+    m: jnp.ndarray,           # [N, D] first moment
+    v: jnp.ndarray,           # [N, D] second moment
     ids: jnp.ndarray,         # [U] int32 unique row ids (pad slots alias id 0)
     mask: jnp.ndarray,        # [U] float 1.0 for real entries, 0.0 for pads
     grad_rows: jnp.ndarray,   # [U, D] gradient w.r.t. the gathered rows
     lr,                       # scalar learning rate for this step
     step_count,               # scalar: number of COMPLETED updates (0-based)
     cfg: SparseAdamConfig,
-    sub3=None,                # optional pre-gathered pmv[ids] (reuse the
+    sub0=None,                # optional pre-gathered table[ids] (reuse the
                               # forward's gather when ids are unchanged)
 ):
-    """Returns pmv with only the ``ids`` rows advanced one AdamW step
-    (optax.adamw formula: update = mhat / (sqrt(vhat) + eps) + wd * p,
+    """Returns (table, m, v) with only the ``ids`` rows advanced one AdamW
+    step (optax.adamw formula: update = mhat / (sqrt(vhat) + eps) + wd * p,
     scaled by -lr; bias correction from the global step count)."""
     colmask = mask[:, None]
     g = grad_rows.astype(jnp.float32) * colmask
-    if sub3 is None:
-        sub3 = pmv[ids]
-    D = grad_rows.shape[-1]
-    p_old = sub3[:, :D]
-    m_old = sub3[:, D:2 * D]
-    v_old = sub3[:, 2 * D:]
+    m_old = m[ids]
+    v_old = v[ids]
+    p_old = table[ids] if sub0 is None else sub0
     m_new = cfg.b1 * m_old + (1.0 - cfg.b1) * g
     v_new = cfg.b2 * v_old + (1.0 - cfg.b2) * (g * g)
     t = (step_count + 1).astype(jnp.float32)
     mhat = m_new / (1.0 - jnp.power(cfg.b1, t))
     vhat = v_new / (1.0 - jnp.power(cfg.b2, t))
     direction = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.weight_decay * p_old
-    delta3 = jnp.concatenate(
-        [(-lr * direction) * colmask, (m_new - m_old) * colmask,
-         (v_new - v_old) * colmask],
-        axis=1,
-    )
-    return pmv.at[ids].add(delta3)
+    delta_p = (-lr * direction) * colmask
+    table = table.at[ids].add(delta_p.astype(table.dtype))
+    m = m.at[ids].add((m_new - m_old) * colmask)
+    v = v.at[ids].add((v_new - v_old) * colmask)
+    return table, m, v
 
 
 def dedup_touched_rows(ids, mask, grad_rows):

@@ -56,12 +56,10 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray
     rng: jnp.ndarray
-    # interleaved (param, m, v) rows of the item-embedding table, present
-    # only under sparse_item_adam (see trainer/sparse_adam.py — one buffer
-    # ⇒ one gather + one scatter per step). While pmv is set, the params
-    # tree's table leaf is STALE; _sync_item_table() refreshes it at
-    # eval/checkpoint boundaries.
-    pmv: Any = None
+    # dense Adam moments of the item-embedding table, present only under
+    # sparse_item_adam (rows touched per step; see trainer/sparse_adam.py)
+    table_m: Any = None
+    table_v: Any = None
     # gradient-accumulation buffers for the sparse row update
     # (accumulate_grad > 1): per-micro-step (ids, mask, grad rows); the row
     # update applies once per boundary on the deduped union
@@ -332,20 +330,13 @@ class Trainer:
                 return jax.device_put(leaf, sh)
 
             opt_state = jax.tree.map(keep_or_zero, opt_state, opt_shardings)
-        pmv = None
+        table_m = table_v = None
         acc_ids = acc_mask = acc_g = None
         if self.sparse_item_adam:
-            from mhrec_tpu.trainer.sparse_adam import init_pmv
-
             self._table_path = _find_item_table_path(params)
             table = _get_path(params, self._table_path)
-            pmv = init_pmv(table)
-            spec = getattr(getattr(table, "sharding", None), "spec", None)
-            if spec is not None and any(s is not None for s in spec):
-                # row-sharded table → pmv rows shard the same way
-                pmv = jax.device_put(
-                    pmv, NamedSharding(self.mesh, PartitionSpec(spec[0], spec[1])),
-                )
+            table_m = jnp.zeros_like(table, dtype=jnp.float32)
+            table_v = jnp.zeros_like(table, dtype=jnp.float32)
             if self.accumulate_grad > 1:
                 # per-micro-step row-grad buffers; the row update applies on
                 # the deduped union at each accumulation boundary
@@ -370,7 +361,8 @@ class Trainer:
             opt_state=opt_state,
             step=step0,
             rng=k_state,
-            pmv=pmv,
+            table_m=table_m,
+            table_v=table_v,
             acc_ids=acc_ids,
             acc_mask=acc_mask,
             acc_g=acc_g,
@@ -518,7 +510,7 @@ class Trainer:
 
         if self.sparse_item_adam:
             from mhrec_tpu.trainer.sparse_adam import (
-                SparseAdamConfig, dedup_touched_rows, sparse_adamw_pmv_update,
+                SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
             )
 
             sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
@@ -533,11 +525,8 @@ class Trainer:
                 ids = batch.pop("unique_ids")
                 umask = batch.pop("unique_mask")
                 batch = dict(batch, step=state.step)
-                # ONE gather serves the forward (param rows, slot 0) and the
-                # optimizer (m/v rows); the params tree's table leaf is NOT
-                # read — it stays stale until _sync_item_table()
-                sub3 = state.pmv[ids]                      # [U, 3·D]
-                sub0 = sub3[:, : sub3.shape[-1] // 3]
+                table = _get_path(state.params, table_path)
+                sub0 = table[ids]
 
                 def loss_fn(params, sub):
                     # model-agnostic sparse lookup: ItemEmbed reads the
@@ -576,41 +565,51 @@ class Trainer:
                         state.acc_g, g_sub.astype(jnp.float32)[None],
                         (slot, 0, 0))
 
-                    def apply_rows(pmv):
+                    def apply_rows(tmv):
+                        tbl, m0, v0 = tmv
                         ids_u, mask_u, g_u = dedup_touched_rows(
                             acc_ids.reshape(-1), acc_mask.reshape(-1),
                             acc_g.reshape(-1, acc_g.shape[-1]) / k_acc,
                         )
                         outer = state.step // k_acc
-                        return sparse_adamw_pmv_update(
-                            pmv, ids_u, mask_u, g_u,
+                        return sparse_adamw_row_update(
+                            tbl, m0, v0, ids_u, mask_u, g_u,
                             lr=schedule(outer), step_count=outer, cfg=sa_cfg,
                         )
 
-                    pmv = jax.lax.cond(
-                        slot == k_acc - 1, apply_rows, lambda p: p, state.pmv
+                    new_table, m, v = jax.lax.cond(
+                        slot == k_acc - 1, apply_rows, lambda t: t,
+                        (table, state.table_m, state.table_v),
                     )
+                    params = _set_path(params, table_path, new_table)
                     new_state = state.replace(
                         params=params, opt_state=opt_state,
-                        step=state.step + 1, pmv=pmv,
+                        step=state.step + 1, table_m=m, table_v=v,
                         acc_ids=acc_ids, acc_mask=acc_mask, acc_g=acc_g,
                     )
                     return new_state, out
 
                 if use_dedup:
                     ids_u, mask_u, g_u = dedup_touched_rows(ids, umask, g_sub)
-                    sub3_u = None  # rep slots permuted — regather inside
+                    sub_u = None  # rep slots permuted — regather inside
                 else:
                     ids_u, mask_u, g_u = ids, umask, g_sub
-                    sub3_u = sub3
-                pmv = sparse_adamw_pmv_update(
-                    state.pmv, ids_u, mask_u, g_u,
+                    sub_u = sub0
+                # row-update from the PRE-apply table: the table's optax
+                # update is set_to_zero, so the values are identical, but
+                # consuming state.params here lets XLA dead-code-eliminate
+                # apply_updates' add-zero over the full [N, D] table (a
+                # runtime-zeros add is a full read+write HBM pass otherwise)
+                new_table, m, v = sparse_adamw_row_update(
+                    table, state.table_m, state.table_v,
+                    ids_u, mask_u, g_u,
                     lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
-                    sub3=sub3_u,
+                    sub0=sub_u,
                 )
+                params = _set_path(params, table_path, new_table)
                 new_state = state.replace(
                     params=params, opt_state=opt_state, step=state.step + 1,
-                    pmv=pmv,
+                    table_m=m, table_v=v,
                 )
                 return new_state, out
 
@@ -723,7 +722,6 @@ class Trainer:
                     break
             if self.debug and it >= 9:
                 break
-        self._sync_item_table()
         wall = time.time() - t0
         n_done = it + 1 - start_it
         n_examples = n_done * self.config["train_batch_size"]
@@ -758,28 +756,9 @@ class Trainer:
             )
         return self._ckpt_mgr
 
-    def _sync_item_table(self):
-        """Refresh the stale params table leaf from pmv slot 0.
-
-        Under sparse_item_adam the train step updates ONLY the interleaved
-        pmv buffer; every consumer of ``state.params`` outside the hot loop
-        (eval, checkpointing, post-fit inspection) must see the live rows,
-        so evaluate()/save_checkpoint()/fit-exit call this first."""
-        if not self.sparse_item_adam or self.state is None \
-                or self.state.pmv is None:
-            return
-        D3 = self.state.pmv.shape[-1]
-        table = self.state.pmv[:, : D3 // 3].astype(
-            _get_path(self.state.params, self._table_path).dtype
-        )
-        self.state = self.state.replace(
-            params=_set_path(self.state.params, self._table_path, table)
-        )
-
     def save_checkpoint(self):
         import orbax.checkpoint as ocp
 
-        self._sync_item_table()
         mgr = self._ckpt_manager()
         payload = {
             "params": self.state.params,
@@ -790,12 +769,9 @@ class Trainer:
                 self.best_valid_score if self.best_valid_score is not None else np.nan
             ),
         }
-        if self.state.pmv is not None:
-            # on-disk format keeps separate moment tables (params carry the
-            # synced table), interchangeable with dense-optimizer runs
-            D3 = self.state.pmv.shape[-1]
-            payload["table_m"] = self.state.pmv[:, D3 // 3: 2 * D3 // 3]
-            payload["table_v"] = self.state.pmv[:, 2 * D3 // 3:]
+        if self.state.table_m is not None:
+            payload["table_m"] = self.state.table_m
+            payload["table_v"] = self.state.table_v
         mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
 
@@ -813,29 +789,17 @@ class Trainer:
             "rng": self.state.rng,
             "best_valid_score": np.asarray(np.nan),
         }
-        if self.state.pmv is not None:
-            D3 = self.state.pmv.shape[-1]
-            template["table_m"] = self.state.pmv[:, D3 // 3: 2 * D3 // 3]
-            template["table_v"] = self.state.pmv[:, 2 * D3 // 3:]
+        if self.state.table_m is not None:
+            template["table_m"] = self.state.table_m
+            template["table_v"] = self.state.table_v
         restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
-        pmv = None
-        if self.state.pmv is not None:
-            pmv = jnp.concatenate(
-                [
-                    _get_path(restored["params"], self._table_path).astype(
-                        jnp.float32
-                    ),
-                    restored["table_m"],
-                    restored["table_v"],
-                ],
-                axis=1,
-            )
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"]),
             rng=jnp.asarray(restored["rng"]),
-            pmv=pmv,
+            table_m=restored.get("table_m"),
+            table_v=restored.get("table_v"),
             # accumulation buffers restart empty — checkpoints are written at
             # eval boundaries, which align with accumulation boundaries
             acc_ids=self.state.acc_ids,
@@ -960,7 +924,6 @@ class Trainer:
         return self._item_feat_fn(self.state.params)
 
     def evaluate(self, eval_batcher, load_best_model: bool = False):
-        self._sync_item_table()
         if load_best_model:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")

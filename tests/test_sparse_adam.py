@@ -84,8 +84,6 @@ def test_sparse_single_step_matches_dense(synth_dir, model):
         b, _ = _one_batch(cfg, data)
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         t.state, out = t._jit_train_step(t.state, batch)
-        # sparse: the params table leaf is stale until synced from pmv
-        t._sync_item_table()
         states[sparse] = (jax.device_get(t.state.params), float(out["loss"]))
 
     dense_params, dense_loss = states[False]
@@ -126,7 +124,6 @@ def test_sparse_with_grad_accumulation_matches_dense(synth_dir, model):
         for _ in range(2):
             batch = {k: jnp.asarray(v) for k, v in next(it).items()}
             t.state, out = t._jit_train_step(t.state, batch)
-        t._sync_item_table()
         states[sparse] = jax.device_get(t.state.params)
 
     flat_d = jax.tree_util.tree_leaves_with_path(states[False])
@@ -156,9 +153,8 @@ def test_sparse_fit_and_resume(synth_dir, tmp_path):
     stats = t.fit(train, None)
     assert stats["iters"] == 4
     assert np.isfinite(stats["examples_per_s"])
-    assert t.state.pmv is not None
-    D3 = t.state.pmv.shape[-1]
-    assert float(jnp.abs(t.state.pmv[:, D3 // 3: 2 * D3 // 3]).sum()) > 0
+    assert t.state.table_m is not None
+    assert float(jnp.abs(t.state.table_m).sum()) > 0
     t.save_checkpoint()
 
     t2 = Trainer(cfg, data)
@@ -166,7 +162,7 @@ def test_sparse_fit_and_resume(synth_dir, tmp_path):
     assert t2.load_checkpoint()
     assert int(t2.state.step) == 4
     np.testing.assert_allclose(
-        np.asarray(t2.state.pmv), np.asarray(t.state.pmv)
+        np.asarray(t2.state.table_m), np.asarray(t.state.table_m)
     )
     np.testing.assert_allclose(
         np.asarray(t2.state.params["item_embedding"]["embedding"]),
@@ -198,14 +194,14 @@ def test_dedup_touched_rows_matches_summed_grads():
     Adam step on the SUMMED gradients (what a dense optimizer sees after the
     grad psum) — never two sequential nonlinear row updates."""
     from mhrec_tpu.trainer.sparse_adam import (
-        SparseAdamConfig, dedup_touched_rows, init_pmv,
-        sparse_adamw_pmv_update,
+        SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
     )
 
     rng = np.random.default_rng(3)
     N, D, U = 20, 4, 6
     table = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
-    pmv = init_pmv(table)
+    m = jnp.zeros((N, D), jnp.float32)
+    v = jnp.zeros((N, D), jnp.float32)
     cfg = SparseAdamConfig(weight_decay=0.01)
 
     # two virtual host blocks, overlapping on rows 5 and 7; pad slots (id 0,
@@ -217,8 +213,9 @@ def test_dedup_touched_rows_matches_summed_grads():
     grads = jnp.asarray(rng.normal(size=(2 * U, D)).astype(np.float32))
 
     ids_u, mask_u, g_u = dedup_touched_rows(ids, mask, grads)
-    pmv1 = sparse_adamw_pmv_update(
-        pmv, ids_u, mask_u, g_u, lr=0.01, step_count=jnp.asarray(0), cfg=cfg,
+    t1, m1, v1 = sparse_adamw_row_update(
+        table, m, v, ids_u, mask_u, g_u, lr=0.01, step_count=jnp.asarray(0),
+        cfg=cfg,
     )
 
     # oracle: manually summed gradients, one entry per distinct id
@@ -232,13 +229,15 @@ def test_dedup_touched_rows_matches_summed_grads():
         grads[9],                     # id 11
         grads[10],                    # id 13
     ])
-    pmv2 = sparse_adamw_pmv_update(
-        pmv, man_ids, man_mask, man_g, lr=0.01,
+    t2, m2, v2 = sparse_adamw_row_update(
+        table, m, v, man_ids, man_mask, man_g, lr=0.01,
         step_count=jnp.asarray(0), cfg=cfg,
     )
-    np.testing.assert_allclose(np.asarray(pmv1), np.asarray(pmv2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
     # masked pad slots (mask 0 everywhere) never touched their rows
     untouched = np.setdiff1d(np.arange(N), np.asarray([0, 5, 7, 9, 11, 13]))
     np.testing.assert_array_equal(
-        np.asarray(pmv1)[untouched], np.asarray(pmv)[untouched]
+        np.asarray(t1)[untouched], np.asarray(table)[untouched]
     )

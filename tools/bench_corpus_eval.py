@@ -96,8 +96,52 @@ def main():
     if "--dim" in sys.argv:
         dim = int(sys.argv[sys.argv.index("--dim") + 1])
 
+    skip_identity = "--skip-identity" in sys.argv
     # ---- metric identity: host-table vs device-streamed on a subsample ----
     sub = min(262_144, items)
+    if skip_identity:
+        sub = 0
+    if sub:
+        run_identity(sub, dim)
+
+    # ---- the 8M-scale run -------------------------------------------------
+    t0 = time.time()
+    table = synth_table(items, dim)
+    gen_s = time.time() - t0
+    # measure the tunnel/interconnect H2D rate once — on the axon dev
+    # tunnel it is ~0.04 GB/s, which DOMINATES the wall time below; on
+    # directly-attached hardware the same pass rides PCIe/DMA at tens of
+    # GB/s and the eval is scoring-bound
+    probe = table[: 1 << 17]
+    d = jax.device_put(probe); d.block_until_ready()
+    t0 = time.time()
+    d = jax.device_put(probe); float(d[0, 0])
+    h2d_gbs = probe.nbytes / (1 << 30) / (time.time() - t0)
+    cfg, data, test, trainer = build(items, dim, host_mode=True)
+    res_cold, cold_s = run_eval(trainer, test, table)
+    dev = jax.local_devices()[0]
+    stats = {}
+    try:
+        ms = dev.memory_stats() or {}
+        stats["hbm_peak_gb"] = round(ms.get("peak_bytes_in_use", 0) / (1 << 30), 3)
+    except Exception:
+        pass
+    p_last = f"pred_{cfg['eval_pred_len'] - 1}"
+    print(json.dumps({
+        "metric": f"host_table_eval_{items // 1_000_000}M_items_dim{dim}",
+        "value": round(items / cold_s, 1),
+        "unit": "items_scored/s (eval wall incl. compile)",
+        "eval_s": round(cold_s, 1),
+        "table_gen_s": round(gen_s, 1),
+        "host_table_gb": round(table.nbytes / (1 << 30), 2),
+        "h2d_tunnel_gb_s": round(h2d_gbs, 3),
+        "h2d_bound_s": round(table.nbytes / (1 << 30) / max(h2d_gbs, 1e-9), 1),
+        "recall@200": res_cold.get(p_last, {}).get("recall@200"),
+        **stats,
+    }), flush=True)
+
+
+def run_identity(sub, dim):
     table_sub = synth_table(sub, dim)
     cfgH, dataH, testH, trH = build(sub, dim, host_mode=True)
     resH, _ = run_eval(trH, testH, table_sub)
@@ -116,34 +160,6 @@ def main():
         "metrics_compared": sum(len(v) for v in resH.values()),
         "mismatches": mismatches[:8],
         "ok": not mismatches,
-    }), flush=True)
-
-    # ---- the 8M-scale run -------------------------------------------------
-    t0 = time.time()
-    table = synth_table(items, dim)
-    gen_s = time.time() - t0
-    cfg, data, test, trainer = build(items, dim, host_mode=True)
-    res_cold, cold_s = run_eval(trainer, test, table)
-    res_warm, warm_s = run_eval(trainer, test, table)
-    dev = jax.local_devices()[0]
-    stats = {}
-    try:
-        ms = dev.memory_stats() or {}
-        stats["hbm_peak_gb"] = round(ms.get("peak_bytes_in_use", 0) / (1 << 30), 3)
-    except Exception:
-        pass
-    n_users = test.num_eval_users if hasattr(test, "num_eval_users") else 1024
-    n_groups = 1
-    streamed_gb = table.nbytes / (1 << 30) * n_groups
-    p_last = f"pred_{cfg['eval_pred_len'] - 1}"
-    print(json.dumps({
-        "metric": f"host_table_eval_{items // 1_000_000}M_items_dim{dim}",
-        "value": round(items / warm_s, 1), "unit": "items_scored/s (warm eval wall)",
-        "cold_eval_s": round(cold_s, 1), "warm_eval_s": round(warm_s, 1),
-        "table_gen_s": round(gen_s, 1),
-        "host_table_gb": round(table.nbytes / (1 << 30), 2),
-        "recall@200": res_warm.get(p_last, {}).get("recall@200"),
-        **stats,
     }), flush=True)
 
 
