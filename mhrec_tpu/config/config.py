@@ -177,6 +177,19 @@ class Config:
             d["packed_item_tower"] = not (
                 d.get("use_image") or d.get("freeze_item_llm")
             )
+        for vk in ("use_video", "video_dir", "video_min_pixels",
+                   "video_max_pixels", "fps", "video_fps"):
+            if d.get(vk):
+                # video inputs (reference qwen_vl_utils.py fetch_video /
+                # smart_nframes) are deliberately out of scope: no reference
+                # protocol or dataset ever feeds video (PARITY §2.3). Fail
+                # loudly instead of silently ignoring the flag.
+                raise ValueError(
+                    f"config key '{vk}' requests video inputs, which this "
+                    f"framework does not implement (no reference protocol "
+                    f"uses them — see docs/MIGRATION.md); images are "
+                    f"supported via use_image/image_dir"
+                )
         if d.get("category_by") == "user":
             # user-cluster priors only make sense as an oracle over a single
             # horizon (reference trainer.py:104-105)

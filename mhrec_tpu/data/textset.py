@@ -185,13 +185,69 @@ class ItemTextCache:
     # -- disk persistence (VERDICT r2 #6: the corpus tokenize is static per
     # dataset — persist it once instead of paying the ~670 s cold cost per
     # process at protocol scale) --------------------------------------------
+    # how many items the content digest samples; the first/last ids and an
+    # even stride in between are always included
+    _FP_SAMPLE = 4096
+
+    def _fp_sample_ids(self, item_num: int):
+        n = min(item_num, self._FP_SAMPLE)
+        ids = np.unique(np.linspace(0, item_num - 1, n).astype(np.int64))
+        return [int(i) for i in ids]
+
     def _fingerprint(self, dataset_name: str, item_num: int) -> str:
+        """Content guard for the persisted token matrix (ADVICE r3: a probe
+        of item ≤1 alone guarded almost nothing). Digests:
+
+        * the RENDERED TEXT of an evenly-strided sample of items (whole
+          corpus when ≤ _FP_SAMPLE) — any text-key/prompt/tokenizer or
+          item-content drift in the sample changes the key;
+        * under images: each sampled item's resolved image path + stat
+          (size, mtime) — swapped/edited image files shift the per-item
+          ``[vision_start][pad×n][vision_end]`` spans the cached matrix
+          froze in, exactly the silent token/image skew this guards;
+        * the full image-grid geometry (dyn_kind, min/max pixels, patch
+          size/merge/temporal, static token count) that determines n_tokens.
+
+        Sample-based by design: a change confined entirely to unsampled
+        items' texts/images can still slip through — delete the cache dir
+        (``{data_path}/.token_cache``) to force a rebuild after bulk edits.
+        """
         import hashlib
         import json as _json
 
         tok = self.tokenizer
-        probe = self.tokenizer.encode(self.render(min(1, item_num - 1)),
-                                      self.max_text_length)
+        h = hashlib.sha256()
+        sample = self._fp_sample_ids(item_num)
+        for iid in sample:
+            h.update(self.render(iid).encode("utf-8", "replace"))
+            h.update(b"\x00")
+        img_spec = None
+        store = self.image_store
+        if store is not None or self.image_prefix is not None:
+            stats = []
+            if store is not None:
+                for iid in sample:
+                    p = store.path(iid)
+                    if p:
+                        try:
+                            st = os.stat(p)
+                            stats.append((iid, p, st.st_size, int(st.st_mtime)))
+                        except OSError:
+                            stats.append((iid, p, -1, -1))
+                h.update(_json.dumps(stats).encode())
+                dyn = getattr(store, "dyn", None)
+                prep = getattr(store, "prep", None)
+                img_spec = dict(
+                    dyn_kind=getattr(store, "dyn_kind", None),
+                    min_pixels=getattr(dyn, "min_pixels", None),
+                    max_pixels=getattr(dyn, "max_pixels", None),
+                    anyres_P=getattr(dyn, "P", None),
+                    token_cap=getattr(dyn, "token_cap", None),
+                    patch_size=getattr(prep, "patch_size", None),
+                    merge=getattr(prep, "merge_size", None),
+                    tps=getattr(prep, "temporal_patch_size", None),
+                    static_n_tokens=getattr(prep, "n_tokens", None),
+                )
         spec = dict(
             dataset=dataset_name, item_num=item_num,
             text_keys=self.text_keys, prompt=self.item_prompt,
@@ -199,9 +255,8 @@ class ItemTextCache:
             vocab=getattr(tok, "vocab_size", None),
             static_prefix=(None if self.image_prefix is None
                            else self.image_prefix.tolist()),
-            dynamic_images=self.image_store is not None,
-            probe=list(map(int, probe[:16])),  # content guard: tokenizer or
-            # item-text drift changes the key, never serves stale tokens
+            images=img_spec,
+            content=h.hexdigest(),
         )
         return hashlib.sha256(
             _json.dumps(spec, sort_keys=True).encode()

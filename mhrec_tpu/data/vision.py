@@ -501,12 +501,15 @@ class ItemImageStore:
                 )
                 # a MAX_TEXT_LENGTH budget below min_pixels would make
                 # smart_resize emit grids past patch_cap and crash at
-                # data-loading time with a shape error (ADVICE r2)
-                assert min_px <= max_px, (
-                    f"MAX_TEXT_LENGTH={T} leaves an image budget of "
-                    f"{max_px} px < image_min_pixels={min_px}; raise "
-                    f"MAX_TEXT_LENGTH or lower image_min_pixels"
-                )
+                # data-loading time with a shape error (ADVICE r2).
+                # ValueError, not assert: config validation must survive
+                # `python -O` (ADVICE r3)
+                if min_px > max_px:
+                    raise ValueError(
+                        f"MAX_TEXT_LENGTH={T} leaves an image budget of "
+                        f"{max_px} px < image_min_pixels={min_px}; raise "
+                        f"MAX_TEXT_LENGTH or lower image_min_pixels"
+                    )
                 self.dyn = DynamicImagePreprocessor(
                     patch_size=ps, temporal_patch_size=tps,
                     spatial_merge_size=merge,

@@ -96,10 +96,18 @@ def build_optimizer(config, schedule_factory, total_iters: int):
     freeze_prefix: List[str] = list(config.get("freeze_prefix", []) or [])
     if config.get("freeze_item_llm", False):
         freeze_prefix += ["item_llm", "item_emb_tokens"]
-    if config.get("sparse_item_adam", False):
-        # the table is updated row-wise by the trainer's sparse AdamW path
-        # (trainer/sparse_adam.py); mask it here so no dense moments exist
-        freeze_prefix += ["item_embedding"]
+    # sparse_item_adam: the table is updated row-wise by the trainer's
+    # sparse AdamW path (trainer/sparse_adam.py); mask it here so no dense
+    # moments exist. Matched as a dotted-path COMPONENT, not a prefix — the
+    # table lives at top level for HSTU/SASRec but under ``trunk.`` for
+    # ComiRec/REMI, where a prefix match would silently allocate dense
+    # fp32 moments for the full [N, D] table (ADVICE r3).
+    sparse_table = bool(config.get("sparse_item_adam", False))
+
+    def _is_frozen(path: str) -> bool:
+        if any(path.startswith(p) for p in freeze_prefix):
+            return True
+        return sparse_table and "item_embedding" in path.split(".")
 
     split_modal = {"modal_lr", "modal_decay", "rec_lr", "rec_decay"} <= set(optim_args)
     lr_mult_prefix = list(config.get("lr_mult_prefix", []) or [])
@@ -108,9 +116,13 @@ def build_optimizer(config, schedule_factory, total_iters: int):
     # moment storage dtypes (beyond reference): `adam_mu_dtype: bfloat16` /
     # `adam_nu_dtype: bfloat16` halve the corresponding buffer's HBM
     # footprint and per-step traffic (update math still runs fp32; cast on
-    # read/write). bf16 keeps fp32's exponent range, so ν never over/under
-    # flows — its 8-bit mantissa puts ~0.2% jitter on sqrt(ν̂), i.e. on the
-    # effective per-parameter LR.
+    # read/write). bf16 keeps fp32's exponent range so ν never over/under
+    # flows, but beware: an EMA stored with an 8-bit mantissa drops
+    # increments below ~ν·2⁻⁹ entirely, so for small/steady gradients the
+    # second moment can STALL at a fixed value rather than merely jitter —
+    # ν is the moment generally considered unsafe to quantize. Both flags
+    # stay opt-in capacity levers for 1B+ towers; prefer `adam_mu_dtype`
+    # alone when quality matters.
     mu_dtype = config.get("adam_mu_dtype") or None
     nu_dtype = config.get("adam_nu_dtype") or None
 
@@ -140,7 +152,7 @@ def build_optimizer(config, schedule_factory, total_iters: int):
             check = config.get("decay_check_name") or "visual_encoder"
 
             def label(path: str) -> str:
-                if any(path.startswith(p) for p in freeze_prefix):
+                if _is_frozen(path):
                     return "frozen"
                 return "modal" if check in path else "rec"
 
@@ -149,7 +161,7 @@ def build_optimizer(config, schedule_factory, total_iters: int):
             transforms["high"] = adamw(base_lr * float(lr_mult_rate), wd)
 
             def label(path: str) -> str:
-                if any(path.startswith(p) for p in freeze_prefix):
+                if _is_frozen(path):
                     return "frozen"
                 if any(path.startswith(p) for p in lr_mult_prefix):
                     return "high"
@@ -159,11 +171,11 @@ def build_optimizer(config, schedule_factory, total_iters: int):
             transforms["normal"] = adamw(base_lr, wd)
 
             def label(path: str) -> str:
-                if any(path.startswith(p) for p in freeze_prefix):
+                if _is_frozen(path):
                     return "frozen"
                 return "normal"
 
-        if freeze_prefix:
+        if freeze_prefix or sparse_table:
             transforms["frozen"] = optax.set_to_zero()
         if len(transforms) == 1:
             tx = transforms["normal"]

@@ -66,6 +66,11 @@ class TrainState:
     acc_ids: Any = None
     acc_mask: Any = None
     acc_g: Any = None
+    # first micro-step whose loss was NaN, or -1 (reference checks every
+    # step on host, trainer.py:371-373; here the check lives INSIDE the jit
+    # so no per-step host sync is needed — the offending step's update is
+    # suppressed in-device and the host raises at the next metrics fetch)
+    nan_step: Any = None
 
 
 def _find_item_table_path(params) -> tuple:
@@ -353,8 +358,10 @@ class Trainer:
                 acc_mask = jnp.zeros((k, U), jnp.float32)
                 acc_g = jnp.zeros((k, U, D), jnp.float32)
         step0 = jnp.asarray(0, jnp.int32)
+        nan0 = jnp.asarray(-1, jnp.int32)
         if self.num_processes > 1:
             step0 = jax.device_put(np.asarray(0, np.int32), rep)
+            nan0 = jax.device_put(np.asarray(-1, np.int32), rep)
             k_state = jax.device_put(np.asarray(k_state), rep)
         self.state = TrainState(
             params=params,
@@ -366,6 +373,7 @@ class Trainer:
             acc_ids=acc_ids,
             acc_mask=acc_mask,
             acc_g=acc_g,
+            nan_step=nan0,
         )
         self._build_train_step()
         # resume (reference trainer.py:342-369): load_checkpoint_name points
@@ -549,6 +557,18 @@ class Trainer:
                 (loss, out), (grads, g_sub) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(state.params, sub0)
+                # in-jit NaN guard (reference trainer.py:371-373 checks every
+                # step on host): record the first NaN step and zero this
+                # step's grads so params are never contaminated; the host
+                # raises when it next fetches metrics
+                bad = jnp.isnan(loss)
+                nan_step = jnp.where(
+                    (state.nan_step < 0) & bad, state.step, state.nan_step
+                )
+                grads = jax.tree.map(
+                    lambda g: jnp.where(bad, jnp.zeros_like(g), g), grads
+                )
+                g_sub = jnp.where(bad, jnp.zeros_like(g_sub), g_sub)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
 
@@ -586,6 +606,7 @@ class Trainer:
                         params=params, opt_state=opt_state,
                         step=state.step + 1, table_m=m, table_v=v,
                         acc_ids=acc_ids, acc_mask=acc_mask, acc_g=acc_g,
+                        nan_step=nan_step,
                     )
                     return new_state, out
 
@@ -609,7 +630,7 @@ class Trainer:
                 params = _set_path(params, table_path, new_table)
                 new_state = state.replace(
                     params=params, opt_state=opt_state, step=state.step + 1,
-                    table_m=m, table_v=v,
+                    table_m=m, table_v=v, nan_step=nan_step,
                 )
                 return new_state, out
 
@@ -630,10 +651,19 @@ class Trainer:
                     return out["loss"], out
 
                 (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                # in-jit NaN guard — see the sparse path above
+                bad = jnp.isnan(loss)
+                nan_step = jnp.where(
+                    (state.nan_step < 0) & bad, state.step, state.nan_step
+                )
+                grads = jax.tree.map(
+                    lambda g: jnp.where(bad, jnp.zeros_like(g), g), grads
+                )
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 new_state = state.replace(
-                    params=params, opt_state=opt_state, step=state.step + 1
+                    params=params, opt_state=opt_state, step=state.step + 1,
+                    nan_step=nan_step,
                 )
                 return new_state, out
 
@@ -673,6 +703,13 @@ class Trainer:
             if (it + 1) % self.update_interval == 0 or self.debug \
                     or it == micro_steps - 1:
                 loss = float(out["loss"])
+                # nan_step is maintained INSIDE the jit (every step): it
+                # carries the first offending micro-step's index, and that
+                # step's update was suppressed on device, so no NaN ever
+                # reached the params even between host fetches
+                ns = int(self.state.nan_step) if self.state.nan_step is not None else -1
+                if ns >= 0:
+                    raise RuntimeError(f"NaN loss at iter {ns}")
                 if math.isnan(loss):
                     raise RuntimeError(f"NaN loss at iter {it}")
                 logs = {k: float(v) for k, v in out.items() if hasattr(v, "ndim")}
@@ -805,6 +842,8 @@ class Trainer:
             acc_ids=self.state.acc_ids,
             acc_mask=self.state.acc_mask,
             acc_g=self.state.acc_g,
+            # a checkpoint is only ever written from a clean state
+            nan_step=self.state.nan_step,
         )
         bvs = float(restored["best_valid_score"])
         self.best_valid_score = None if math.isnan(bvs) else bvs

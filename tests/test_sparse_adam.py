@@ -241,3 +241,28 @@ def test_dedup_touched_rows_matches_summed_grads():
     np.testing.assert_array_equal(
         np.asarray(t1)[untouched], np.asarray(table)[untouched]
     )
+
+
+@pytest.mark.parametrize("model", ["ComiRec", "HSTU"])
+def test_no_dense_moments_for_table(synth_dir, model):
+    """Under sparse_item_adam the optax state must hold NO dense [N, D]
+    moments for the item table — including when the table is nested under
+    ``trunk.`` (ComiRec/REMI), where a prefix match on 'item_embedding'
+    silently labeled it 'normal' (ADVICE r3)."""
+    cfg = _config_for(synth_dir, model, sparse_item_adam=True)
+    data = InteractionData(cfg).build()
+    t = Trainer(cfg, data)
+    t.setup_model()
+    from mhrec_tpu.trainer.trainer import _get_path
+
+    table = _get_path(t.state.params, t._table_path)
+    n_table_shaped = sum(
+        1 for leaf in jax.tree.leaves(t.state.opt_state)
+        if getattr(leaf, "shape", None) == table.shape
+    )
+    assert n_table_shaped == 0, (
+        f"{n_table_shaped} dense [N, D] moment buffers exist for the "
+        f"{model} item table under sparse_item_adam"
+    )
+    # and the row-sparse moments DO exist (trainer-owned, outside optax)
+    assert t.state.table_m.shape == table.shape

@@ -289,3 +289,63 @@ def test_item_emb_pretrain_loads(tmp_path):
     params = {"item_emb_tokens": jnp.zeros((1, 1, 8), jnp.float32)}
     out = load_pretrained_towers(params, {"item_emb_pretrain": str(path)})
     np.testing.assert_allclose(np.asarray(out["item_emb_tokens"]), arr)
+
+
+class _NaNInjector:
+    """Delegating model proxy that poisons the loss at one train step —
+    lets the in-jit NaN guard be tested without corrupting any params."""
+
+    def __init__(self, model, at_step):
+        object.__setattr__(self, "_m", model)
+        object.__setattr__(self, "_s", at_step)
+
+    def __getattr__(self, k):
+        return getattr(object.__getattribute__(self, "_m"), k)
+
+    def apply(self, variables, batch, *a, **k):
+        import jax.numpy as jnp
+
+        out = object.__getattribute__(self, "_m").apply(variables, batch, *a, **k)
+        if isinstance(out, dict) and "loss" in out \
+                and isinstance(batch, dict) and "step" in batch:
+            bad = batch["step"] == object.__getattribute__(self, "_s")
+            out = dict(out, loss=jnp.where(bad, jnp.nan, out["loss"]))
+        return out
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_nan_guard_in_jit(synth_dir, tmp_path_factory, sparse):
+    """Reference checks isnan(loss) on host EVERY step (trainer.py:371-373).
+    Here the guard lives inside the jit: the first NaN step is recorded in
+    TrainState.nan_step, its (and later) updates are grad-zeroed so params
+    stay finite, and the host raises with the OFFENDING step index at the
+    next metrics fetch — no per-step host sync."""
+    import jax
+    import jax.numpy as jnp
+
+    from mhrec_tpu.parallel.mesh import shard_batch
+
+    cfg = make_config(
+        synth_dir, total_iters=6, eval_interval=1000, train_batch_size=8,
+        sparse_item_adam=sparse,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_nan")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, _ = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.model = _NaNInjector(t.model, at_step=3)
+    t.setup_model()
+    stream = train.infinite_batches(prefetch=0)
+    for _ in range(6):  # run PAST the poisoned step without any host fetch
+        t.state, out = t._jit_train_step(t.state, shard_batch(t.mesh, next(stream)))
+    assert int(t.state.nan_step) == 3
+    assert int(t.state.step) == 6  # device kept going; host never synced
+    for leaf in jax.tree.leaves(t.state.params):
+        assert bool(jnp.isfinite(leaf).all()), "NaN reached params"
+
+    # fit-level: the raise carries the offending step index
+    t2 = Trainer(cfg, data)
+    t2.model = _NaNInjector(t2.model, at_step=3)
+    t2.setup_model()
+    with pytest.raises(RuntimeError, match="iter 3"):
+        t2.fit(train, None)
