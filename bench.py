@@ -28,12 +28,33 @@ import sys
 import time
 
 
+# peak dense bf16 matmul throughput per chip, for the MFU column
+# (VERDICT r3 #2). Keyed on jax device_kind.
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,        # v5p
+    "TPU v6 lite": 918.0,   # v6e (Trillium)
+}
+
+
+def _device_peak_tflops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
 def _measure_hstu(overrides, n_short=10, n_long=60):
     """Train-step throughput for an HSTU shape; honest timing (checksum sync:
     block_until_ready on remote-tunneled (axon) arrays can return before
     execution completes, so force a data dependency on every parameter and
     report the MARGINAL cost between a short and a long run, cancelling
-    warmup + fetch latency)."""
+    warmup + fetch latency). Returns (examples/s, step_ms, model_tflops,
+    mfu) — flops from XLA cost analysis of the ONE compiled step."""
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +75,8 @@ def _measure_hstu(overrides, n_short=10, n_long=60):
         seq_len=seq_len * 2 + 2 * config["eval_pred_len"],
         eval_pred_len=config["eval_pred_len"],
         max_item_list_length=seq_len,
+        num_categories=(config["eval_num_cats"] or 0)
+        if config["loss"] == "prior" else 0,
         seed=0,
     )
     batcher = SEQTrainBatcher(config, data)
@@ -64,23 +87,49 @@ def _measure_hstu(overrides, n_short=10, n_long=60):
         lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p))
     )
 
+    # step flops from the executable XLA actually runs (cost analysis on
+    # the same compiled object the loop then executes — one compile total)
+    step_flops = None
+    try:
+        batch0 = shard_batch(trainer.mesh, next(stream))
+        lowered = trainer._jitted_train_step.lower(
+            trainer.state, batch0, trainer.extra_vars)
+        compiled = lowered.compile()
+        an = compiled.cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        step_flops = float(an.get("flops", 0.0)) or None
+
+        def do_step(state, batch):
+            return compiled(state, batch, trainer.extra_vars)
+    except Exception:
+        def do_step(state, batch):
+            return trainer._jit_train_step(state, batch)
+
     def run(n):
         t0 = time.time()
         for _ in range(n):
             batch = shard_batch(trainer.mesh, next(stream))
-            trainer.state, out = trainer._jit_train_step(trainer.state, batch)
+            trainer.state, out = do_step(trainer.state, batch)
         float(checksum(trainer.state.params))
         return time.time() - t0
 
     for _ in range(3):  # compile + warm
         batch = shard_batch(trainer.mesh, next(stream))
-        trainer.state, out = trainer._jit_train_step(trainer.state, batch)
+        trainer.state, out = do_step(trainer.state, batch)
     float(checksum(trainer.state.params))
 
     t_short = run(n_short)
     t_long = run(n_long)
     step_time = (t_long - t_short) / (n_long - n_short)
-    return config["train_batch_size"] / step_time, step_time * 1000.0
+    tflops = mfu = None
+    if step_flops:
+        tflops = step_flops / 1e12
+        peak = _device_peak_tflops()
+        if peak:
+            mfu = (step_flops / step_time) / (peak * 1e12)
+    return (config["train_batch_size"] / step_time, step_time * 1000.0,
+            tflops, mfu)
 
 
 def main():
@@ -116,7 +165,7 @@ def main():
 
     n_short = int(os.environ.get("BENCH_STEPS_SHORT", 10))
     n_long = int(os.environ.get("BENCH_STEPS", 60))
-    per_chip, _ = _measure_hstu(size4, n_short, n_long)
+    per_chip, step_ms, tflops, mfu = _measure_hstu(size4, n_short, n_long)
     per_chip /= n_devices
 
     vs_baseline = 1.0
@@ -135,31 +184,53 @@ def main():
         "value": round(per_chip, 2),
         "unit": "examples/s/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "step_ms": round(step_ms, 2),
     }
+    if tflops:
+        result["model_tflops"] = round(tflops, 3)
+    if mfu:
+        result["mfu"] = round(mfu, 4)
 
     if os.environ.get("BENCH_SUITE", "1") != "0" and not os.environ.get("BENCH_SMALL"):
         suite = {}
-        try:
-            # merrec protocol shape (reproduce/HSTU-merrec-prior.slurm:25-60
-            # minus the prior machinery): L=400, 8L/512d/8h, bs 32 — the
-            # long-L shape where attn_impl auto selects the fused STU kernel
-            merrec = dict(
-                MAX_ITEM_LIST_LENGTH=400, pred_len=1, eval_pred_len=1,
-                train_batch_size=32 * n_devices, num_negatives=4096,
-                n_layers=8, n_heads=8, item_embedding_size=512,
-                hstu_embedding_size=512, hidden_dropout_prob=0.2,
-                loss="nce", total_iters=100, seed=2020,
-                sparse_item_adam=True, _num_items=100_000,
-            )
-            ex_s, ms = _measure_hstu(merrec, 5, 30)
-            suite["hstu_merrec_seq400_bs32_neg4096"] = {
-                "value": round(ex_s / n_devices, 2),
-                "unit": "examples/s/chip", "step_ms": round(ms, 2),
-            }
-        except Exception as e:  # never fail the primary metric
-            suite["hstu_merrec_seq400_bs32_neg4096"] = {
-                "error": f"{type(e).__name__}: {e}"[:200]
-            }
+
+        def _row(name, overrides, n_s, n_l):
+            try:
+                ex_s, ms, tf, mf = _measure_hstu(overrides, n_s, n_l)
+                row = {"value": round(ex_s / n_devices, 2),
+                       "unit": "examples/s/chip", "step_ms": round(ms, 2)}
+                if tf:
+                    row["model_tflops"] = round(tf, 3)
+                if mf:
+                    row["mfu"] = round(mf, 4)
+                suite[name] = row
+            except Exception as e:  # never fail the primary metric
+                suite[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+        # the paper's HEADLINE config (reproduce/HSTU-Pixel8M-prior.slurm:
+        # 29-70): size4 + 8 per-category NCE passes + prior switch + 4
+        # segment heads, additive interaction (VERDICT r3 #2)
+        _row("hstu_size4_prior_8cat_switch", dict(
+            size4,
+            loss="prior", eval_num_cats=8, num_prior_head=8,
+            num_segment_head=4, head_interaction="additive",
+            split_mode="combine", medusa_num_layers=1, medusa_lambda=0.99,
+            neg_sample_by_cat=True, weighted_prior_loss=True,
+            segment_embed=True, prior_switch="in",
+            prior_switch_loss_weight=1.0, tag_version="v2",
+        ), 5, 30)
+
+        # merrec protocol shape (reproduce/HSTU-merrec-prior.slurm:25-60
+        # minus the prior machinery): L=400, 8L/512d/8h, bs 32 — the
+        # long-L shape where attn_impl auto selects the fused STU kernel
+        _row("hstu_merrec_seq400_bs32_neg4096", dict(
+            MAX_ITEM_LIST_LENGTH=400, pred_len=1, eval_pred_len=1,
+            train_batch_size=32 * n_devices, num_negatives=4096,
+            n_layers=8, n_heads=8, item_embedding_size=512,
+            hstu_embedding_size=512, hidden_dropout_prob=0.2,
+            loss="nce", total_iters=100, seed=2020,
+            sparse_item_adam=True, _num_items=100_000,
+        ), 5, 30)
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))

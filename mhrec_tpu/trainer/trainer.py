@@ -668,6 +668,9 @@ class Trainer:
                 return new_state, out
 
         jitted = jax.jit(train_step, donate_argnums=(0,))
+        # raw jitted step kept for AOT introspection (bench.py lowers it
+        # once for XLA cost analysis and executes the same compiled object)
+        self._jitted_train_step = jitted
         self._jit_train_step = lambda state, batch: jitted(
             state, batch, self.extra_vars
         )
