@@ -337,10 +337,19 @@ class HSTU(nn.Module):
                 for i in range(self.n_layers)
             ]
         if self.enable_relative_attention_bias:
-            from mhrec_tpu.models.idnet.rel_bias import RelativePositionalBias
+            # the reference constructs a per-layer
+            # RelativeBucketedTimeAndPositionBasedBias(max_seq_len=2L,
+            # num_buckets=128) under this flag (hstu.py:392-403) — the same
+            # module family/shape here so converted reference checkpoints
+            # carry a matching parameter surface (ts_w[129], pos_w[4L-1])
+            from mhrec_tpu.models.idnet.rel_bias import (
+                RelativeBucketedTimeAndPositionBasedBias,
+            )
 
             self.rel_bias = [
-                RelativePositionalBias(self.max_seq_length, name=f"rel_bias_{i}")
+                RelativeBucketedTimeAndPositionBasedBias(
+                    2 * self.max_seq_length, name=f"rel_bias_{i}"
+                )
                 for i in range(self.n_layers)
             ]
         if not self.fix_temp:
@@ -435,6 +444,10 @@ class HSTU(nn.Module):
         for i, layer in enumerate(self.stu_layers):
             bias = None
             if self.enable_relative_attention_bias:
+                # timestamps=None → zero time spans (the reference's active
+                # path never applies the bias either; params exist for
+                # checkpoint-surface parity, and XLA dead-code-eliminates
+                # the unapplied computation)
                 b = self.rel_bias[i](None)[:, :L, :L]
                 if self.apply_relative_attention_bias:
                     bias = b

@@ -37,10 +37,14 @@ class RelativeBucketedTimeAndPositionBasedBias(nn.Module):
     num_buckets: int = 128
 
     @nn.compact
-    def __call__(self, timestamps):  # [B, N]
+    def __call__(self, timestamps=None):  # [B, N]
         n = self.max_seq_len
         ts_w = self.param("ts_w", nn.initializers.normal(0.02), (self.num_buckets + 1,))
         pos_w = self.param("pos_w", nn.initializers.normal(0.02), (2 * n - 1,))
+        if timestamps is None:
+            # parameter-surface-only usage (reference constructs but never
+            # applies the bias): zero spans land in bucket 0
+            timestamps = jnp.zeros((1, n), jnp.int32)
         idx = jnp.arange(n)
         rel = idx[None, :] - idx[:, None] + n - 1
         pos_bias = pos_w[rel][None]  # [1, N, N]
