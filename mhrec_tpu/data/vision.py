@@ -150,6 +150,188 @@ class ImagePreprocessor:
         return out
 
 
+# ---------------------------------------------------------------------------
+# Video inputs (reference qwen_vl_utils.py:29-35, 132-303)
+#
+# No reference protocol/dataset ever feeds a video (the datasets render item
+# text + still images); like the reference, these are the preprocessing
+# utilities the Qwen-VL chat path exposes: frame-count selection, video
+# fetching (frame lists decode-free; files need torchvision/decord), and the
+# [T, C, H, W] → Qwen2-VL patch flattening with real temporal pairs.
+# ---------------------------------------------------------------------------
+FRAME_FACTOR = 2
+VIDEO_FPS = 2.0
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
+VIDEO_MIN_PIXELS = 128 * 28 * 28
+VIDEO_MAX_PIXELS = 768 * 28 * 28
+VIDEO_TOTAL_PIXELS = 24576 * 28 * 28
+
+
+def _round_by_factor(n, f):
+    return round(n / f) * f
+
+
+def _ceil_by_factor(n, f):
+    import math
+
+    return math.ceil(n / f) * f
+
+
+def _floor_by_factor(n, f):
+    import math
+
+    return math.floor(n / f) * f
+
+
+def smart_nframes(ele: dict, total_frames: int, video_fps: float) -> int:
+    """Frame count for model input (reference qwen_vl_utils.py:132-166):
+    either an explicit ``nframes`` (rounded to FRAME_FACTOR) or derived from
+    ``fps`` (default 2.0) clamped to [min_frames, max_frames]."""
+    assert not ("fps" in ele and "nframes" in ele), (
+        "Only accept either `fps` or `nframes`"
+    )
+    if "nframes" in ele:
+        nframes = _round_by_factor(ele["nframes"], FRAME_FACTOR)
+    else:
+        fps = ele.get("fps", VIDEO_FPS)
+        min_frames = _ceil_by_factor(
+            ele.get("min_frames", FPS_MIN_FRAMES), FRAME_FACTOR)
+        max_frames = _floor_by_factor(
+            ele.get("max_frames", min(FPS_MAX_FRAMES, total_frames)),
+            FRAME_FACTOR)
+        nframes = total_frames / video_fps * fps
+        nframes = min(max(nframes, min_frames), max_frames)
+        nframes = _round_by_factor(nframes, FRAME_FACTOR)
+    if not (FRAME_FACTOR <= nframes <= total_frames):
+        raise ValueError(
+            f"nframes should in interval [{FRAME_FACTOR}, {total_frames}], "
+            f"but got {nframes}."
+        )
+    return int(nframes)
+
+
+def fetch_video(ele: dict, image_factor: int = 28):
+    """Reference qwen_vl_utils.py:260-303.
+
+    ``ele['video']`` as a list/tuple of frames (paths or PIL images):
+    each frame is smart-resized like a still image and the list is padded
+    to a FRAME_FACTOR multiple by repeating the last frame — returns a list
+    of PIL images. As a path string: decoded via torchvision.io / decord
+    when importable (neither ships in this environment — same degradation
+    as the reference without its optional readers), frames selected by
+    ``smart_nframes`` at uniform spacing, bicubic-resized to the
+    video-budget smart_resize target — returns float32 [T, 3, H, W] in
+    0..255 scale (the reference returns the un-normalized resized tensor).
+    """
+    from PIL import Image
+
+    video = ele["video"]
+    if isinstance(video, (list, tuple)):
+        frames = []
+        min_px = ele.get("min_pixels", 4 * 28 * 28)
+        max_px = ele.get("max_pixels", 16384 * 28 * 28)
+        for f in video:
+            img = f if not isinstance(f, str) else Image.open(f)
+            img = img.convert("RGB")
+            if "resized_height" in ele and "resized_width" in ele:
+                h, w = smart_resize(ele["resized_height"], ele["resized_width"],
+                                    factor=image_factor)
+            else:
+                h, w = smart_resize(img.height, img.width, factor=image_factor,
+                                    min_pixels=min_px, max_pixels=max_px)
+            frames.append(img.resize((w, h), Image.Resampling.BICUBIC))
+        nframes = _ceil_by_factor(len(frames), FRAME_FACTOR)
+        frames.extend([frames[-1]] * (nframes - len(frames)))
+        return frames
+
+    # file path → decoder required
+    frames_np = fps = None
+    try:
+        from torchvision import io as tv_io  # noqa: F401
+
+        path = video[7:] if video.startswith("file://") else video
+        vid, _, info = tv_io.read_video(path, pts_unit="sec",
+                                        output_format="TCHW")
+        frames_np, fps = vid.numpy().astype(np.float32), info["video_fps"]
+    except ImportError:
+        try:
+            import decord
+
+            vr = decord.VideoReader(video)
+            fps = vr.get_avg_fps()
+            frames_np = vr.get_batch(range(len(vr))).asnumpy()
+            frames_np = frames_np.transpose(0, 3, 1, 2).astype(np.float32)
+        except ImportError:
+            raise ImportError(
+                "decoding a video FILE needs torchvision or decord (neither "
+                "installed); pass ele['video'] as a list of frame images "
+                "instead"
+            )
+    total = frames_np.shape[0]
+    nframes = smart_nframes(ele, total_frames=total, video_fps=fps)
+    idx = np.linspace(0, total - 1, nframes).round().astype(int)
+    frames_np = frames_np[idx]
+    T, _, H, W = frames_np.shape
+    min_px = ele.get("min_pixels", VIDEO_MIN_PIXELS)
+    total_px = ele.get("total_pixels", VIDEO_TOTAL_PIXELS)
+    max_px = ele.get("max_pixels", max(
+        min(VIDEO_MAX_PIXELS, total_px / T * FRAME_FACTOR),
+        int(min_px * 1.05),
+    ))
+    if "resized_height" in ele and "resized_width" in ele:
+        rh, rw = smart_resize(ele["resized_height"], ele["resized_width"],
+                              factor=image_factor)
+    else:
+        rh, rw = smart_resize(H, W, factor=image_factor,
+                              min_pixels=min_px, max_pixels=max_px)
+    from PIL import Image as _I
+
+    out = np.empty((T, 3, rh, rw), np.float32)
+    for t in range(T):
+        img = _I.fromarray(
+            frames_np[t].transpose(1, 2, 0).clip(0, 255).astype(np.uint8))
+        out[t] = np.asarray(
+            img.resize((rw, rh), _I.Resampling.BICUBIC), np.float32
+        ).transpose(2, 0, 1)
+    return out
+
+
+def patchify_video(frames, patch_size: int = 14, temporal_patch_size: int = 2,
+                   merge_size: int = 2):
+    """[T, 3, H, W] (0..255 float / uint8, or PIL list) → Qwen2-VL video
+    patches with REAL temporal pairs (the still-image path duplicates one
+    frame instead, `_patchify` above).
+
+    Returns (patches [grid_t·gh·gw, 3·tps·ps²] float32, (grid_t, gh, gw)) in
+    the HF Qwen2VLImageProcessor ``_preprocess`` flattening order, so
+    pretrained patch-embed weights consume it unchanged. T is padded to a
+    ``temporal_patch_size`` multiple by repeating the last frame (HF does
+    the same).
+    """
+    if isinstance(frames, (list, tuple)):
+        frames = np.stack(
+            [np.asarray(f, np.float32).transpose(2, 0, 1) for f in frames]
+        )
+    frames = np.asarray(frames, np.float32)
+    frames = (frames / 255.0 - OPENAI_CLIP_MEAN[:, None, None]) / (
+        OPENAI_CLIP_STD[:, None, None]
+    )
+    T, C, H, W = frames.shape
+    ps, tps, m = patch_size, temporal_patch_size, merge_size
+    assert H % (ps * m) == 0 and W % (ps * m) == 0, (H, W, ps, m)
+    if T % tps:
+        frames = np.concatenate(
+            [frames, np.repeat(frames[-1:], tps - T % tps, axis=0)], axis=0)
+        T = frames.shape[0]
+    grid_t, gh, gw = T // tps, H // ps, W // ps
+    x = frames.reshape(grid_t, tps, C, gh // m, m, ps, gw // m, m, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = np.ascontiguousarray(
+        x.reshape(grid_t * gh * gw, C * tps * ps * ps))
+    return patches, (grid_t, gh, gw)
+
+
 def smart_resize(height: int, width: int, factor: int = 28,
                  min_pixels: int = 4 * 28 * 28,
                  max_pixels: int = 16384 * 28 * 28):

@@ -86,6 +86,10 @@ class Collector:
         self.split_mode = config["split_mode"]
         self.all_tags: Optional[np.ndarray] = None
         self.eval_each_head = config.get("eval_each_head", False)
+        # when True, the trainer streams per-user mean-rank rows itself via
+        # meanrank_rows_collect (chunked count-above-target accumulation) and
+        # eval_batch_collect must not demand the full score tensor
+        self.external_meanrank = False
 
     def set_all_tags(self, item_tags: np.ndarray):
         self.all_tags = np.asarray(item_tags)
@@ -221,7 +225,7 @@ class Collector:
                 "idx_by_head": topk_indices.tolist(),
             }
 
-        if self.register.need("rec.meanrank"):
+        if self.register.need("rec.meanrank") and not self.external_meanrank:
             if scores is None:
                 raise ValueError("rec.meanrank needs full scores")
             self._collect_meanrank(scores, positive_i)
@@ -260,6 +264,14 @@ class Collector:
             pos_len = pos_matrix.sum(axis=1)
             row = np.stack([pos_rank_sum, user_len, pos_len], axis=1)
             self.data_struct[p].update_array("rec.meanrank", row)
+
+    def meanrank_rows_collect(self, rows_by_p: Dict[int, np.ndarray]):
+        """Accept externally computed ``[pos_rank_sum, user_len, pos_len]``
+        rows per horizon (the trainer's streamed GAUC path — counts of
+        corpus scores above/equal to each target's score accumulated chunk
+        by chunk, so no [B, H, I] tensor ever exists)."""
+        for p, row in rows_by_p.items():
+            self.data_struct[p].update_array("rec.meanrank", np.asarray(row))
 
     def eval_collect(self, eval_pred: np.ndarray, data_label: np.ndarray):
         if self.register.need("rec.score"):

@@ -242,6 +242,15 @@ class Precision(TopkMetric):
 # Rank / CTR metrics
 # --------------------------------------------------------------------------
 class GAUC(AbstractMetric):
+    """Grouped AUC from per-user mean-rank rows (reference metrics.py:269-344).
+
+    Returns the ``(weighted_sum, weight)`` tuple form so the trainer's
+    cross-host SUM-reduce + divide yields the EXACT global positive-weighted
+    mean — the reference all_reduces the per-rank final GAUC scalar and
+    divides by the user count (trainer.py:1059-1075), which is only correct
+    for sum-form metrics; the tuple form is exact on any process count.
+    """
+
     metric_type = EvaluatorType.RANKING
     metric_need = ["rec.meanrank"]
 
@@ -250,9 +259,10 @@ class GAUC(AbstractMetric):
         pos_rank_sum, user_len, pos_len = (
             mean_rank[:, 0], mean_rank[:, 1], mean_rank[:, 2],
         )
-        return {"gauc": round(self.metric_info(pos_rank_sum, user_len, pos_len), self.decimal_place)}
+        return {"gauc": self.metric_info(pos_rank_sum, user_len, pos_len)}
 
     def metric_info(self, pos_rank_sum, user_len_list, pos_len_list):
+        """(sum of pos_len-weighted per-user AUCs, sum of pos_len weights)."""
         neg_len_list = user_len_list - pos_len_list
         ok = (pos_len_list != 0) & (neg_len_list != 0)
         if not ok.all():
@@ -266,7 +276,7 @@ class GAUC(AbstractMetric):
             - pos_rank_sum
         )
         user_auc = pair_num / (neg_len_list * pos_len_list)
-        return float((user_auc * pos_len_list).sum() / pos_len_list.sum())
+        return (float((user_auc * pos_len_list).sum()), float(pos_len_list.sum()))
 
 
 class AUC(LossMetric):

@@ -48,6 +48,14 @@ def run_loop(config_files, extra_args, multihost: bool = False,
         )
 
     config = Config(config_file_list=config_files, cli_args=extra_args).finalize()
+    # runtime precision knob — the TPU-native face of the reference's TF32
+    # toggles (reference run.py:179-182 torch.backends.*.allow_tf32): governs
+    # the MXU pass count for f32 matmuls ('bfloat16' | 'tensorfloat32' |
+    # 'float32' | 'highest'); bf16-stored weights are unaffected
+    if config.get("matmul_precision"):
+        jax.config.update(
+            "jax_default_matmul_precision", str(config["matmul_precision"])
+        )
     init_seed(
         config["seed"] or 2020, config["reproducibility"],
         prng_impl=config.get("prng_impl"),
@@ -116,9 +124,23 @@ def main(argv=None):
     parser.add_argument("--coordinator_address", default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument(
+        "--xla_flags", default=None,
+        help="extra XLA_FLAGS appended before backend init — the TPU-native "
+             "surface for compiler/allocator knobs (the reference exposes "
+             "its CUDA equivalents via env in run.py:176-187)",
+    )
     args, extra = parser.parse_known_args(argv)
     if extra and extra[0] == "--":
         extra = extra[1:]
+    if args.xla_flags:
+        import os
+
+        # must land before the first backend touch (jax is imported but the
+        # XLA client only reads XLA_FLAGS when a device backend initializes)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + args.xla_flags
+        ).strip()
     return run_loop(
         args.config_file, extra, multihost=args.multihost,
         coordinator_address=args.coordinator_address,

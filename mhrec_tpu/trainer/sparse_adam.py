@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,6 +40,24 @@ class SparseAdamConfig(NamedTuple):
     b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+
+
+def quantize_bf16(x_f32: jnp.ndarray, sr_key=None) -> jnp.ndarray:
+    """Round an f32 array onto the bf16 grid, returned AS f32 values.
+
+    With ``sr_key``: stochastic rounding — add uniform 16-bit noise below
+    the bf16 mantissa, then truncate. ``E[quantize(x)] == x``, so repeated
+    small updates to a bf16-stored parameter advance in expectation instead
+    of stalling below ulp/2 (the failure mode of round-to-nearest storage).
+    Values already on the bf16 grid (zero low bits) are returned unchanged
+    under either mode. Without ``sr_key``: round-to-nearest-even.
+    """
+    if sr_key is None:
+        return x_f32.astype(jnp.bfloat16).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+    rnd = jax.random.bits(sr_key, bits.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    bits = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def sparse_adamw_row_update(
@@ -53,15 +72,25 @@ def sparse_adamw_row_update(
     cfg: SparseAdamConfig,
     sub0=None,                # optional pre-gathered table[ids] (reuse the
                               # forward's gather when ids are unchanged)
+    sr_key=None,              # PRNG key → stochastic rounding for bf16 tables
 ):
     """Returns (table, m, v) with only the ``ids`` rows advanced one AdamW
     step (optax.adamw formula: update = mhat / (sqrt(vhat) + eps) + wd * p,
-    scaled by -lr; bias correction from the global step count)."""
+    scaled by -lr; bias correction from the global step count).
+
+    bf16 tables (``item_table_dtype: bfloat16`` — halves the dominant HBM
+    object's row bytes, VERDICT r3 #4): the Adam math runs in f32 on the
+    upcast rows, the NEW row value is quantized onto the bf16 grid
+    (stochastically when ``sr_key`` is given, so sub-ulp updates advance in
+    expectation), and the scatter adds the exact p-space difference — a
+    plain delta add in bf16 would silently drop every update smaller than
+    ulp(p)/2.
+    """
     colmask = mask[:, None]
     g = grad_rows.astype(jnp.float32) * colmask
     m_old = m[ids]
     v_old = v[ids]
-    p_old = table[ids] if sub0 is None else sub0
+    p_old = (table[ids] if sub0 is None else sub0).astype(jnp.float32)
     m_new = cfg.b1 * m_old + (1.0 - cfg.b1) * g
     v_new = cfg.b2 * v_old + (1.0 - cfg.b2) * (g * g)
     t = (step_count + 1).astype(jnp.float32)
@@ -69,6 +98,9 @@ def sparse_adamw_row_update(
     vhat = v_new / (1.0 - jnp.power(cfg.b2, t))
     direction = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.weight_decay * p_old
     delta_p = (-lr * direction) * colmask
+    if table.dtype == jnp.bfloat16:
+        p_tgt = quantize_bf16(p_old + delta_p, sr_key)
+        delta_p = (p_tgt - p_old) * colmask
     table = table.at[ids].add(delta_p.astype(table.dtype))
     m = m.at[ids].add((m_new - m_old) * colmask)
     v = v.at[ids].add((v_new - v_old) * colmask)

@@ -147,6 +147,18 @@ class Trainer:
                     "sparse_item_adam applies to ID-embedding models — the "
                     "HLLM item tower is an LLM, not an embedding table"
                 )
+        td = str(config.get("item_table_dtype") or "float32").lower()
+        if td not in ("float32", "bfloat16"):
+            raise ValueError(f"item_table_dtype must be float32|bfloat16, got {td}")
+        self._item_table_dtype = jnp.bfloat16 if td == "bfloat16" else jnp.float32
+        if self._item_table_dtype == jnp.bfloat16 and not self.sparse_item_adam:
+            raise ValueError(
+                "item_table_dtype=bfloat16 requires sparse_item_adam (the "
+                "dense optax path would accumulate updates in bf16 and stall "
+                "below ulp/2)"
+            )
+        # stochastic rounding on the bf16 row write-back (default on)
+        self._table_sr = bool(config.get("item_table_stochastic_round", True))
         # multi-host: per-host unique-id blocks can overlap — dedup + sum
         # gradients inside the jit before the nonlinear Adam row update
         # (sparse_adam.dedup_touched_rows). 'auto' = on iff multi-process;
@@ -340,6 +352,12 @@ class Trainer:
         if self.sparse_item_adam:
             self._table_path = _find_item_table_path(params)
             table = _get_path(params, self._table_path)
+            if self._item_table_dtype == jnp.bfloat16:
+                # halve the dominant HBM object's row bytes (gathers,
+                # scatters, lookups); Adam math stays f32 on upcast rows
+                # with stochastic-rounded write-back (sparse_adam.py)
+                table = table.astype(jnp.bfloat16)
+                params = _set_path(params, self._table_path, table)
             table_m = jnp.zeros_like(table, dtype=jnp.float32)
             table_v = jnp.zeros_like(table, dtype=jnp.float32)
             if self.accumulate_grad > 1:
@@ -526,15 +544,21 @@ class Trainer:
             use_dedup = self.sparse_dedup
             table_path = self._table_path
             k_acc = self.accumulate_grad
+            use_sr = self._item_table_dtype == jnp.bfloat16 and self._table_sr
 
             def train_step(state: TrainState, batch, extra_vars):
                 rng = jax.random.fold_in(state.rng, state.step)
                 drop_rng, mix_rng, neg_rng = jax.random.split(rng, 3)
+                # separate stream (fold_in, not a wider split) so enabling
+                # SR never shifts the dropout/mix/neg streams of f32 runs
+                sr_key = jax.random.fold_in(rng, 17) if use_sr else None
                 ids = batch.pop("unique_ids")
                 umask = batch.pop("unique_mask")
                 batch = dict(batch, step=state.step)
                 table = _get_path(state.params, table_path)
-                sub0 = table[ids]
+                # f32 sub-table: forward/grad math identical to an f32-stored
+                # table; only the STORAGE (gather/scatter row bytes) shrinks
+                sub0 = table[ids].astype(jnp.float32)
 
                 def loss_fn(params, sub):
                     # model-agnostic sparse lookup: ItemEmbed reads the
@@ -595,6 +619,7 @@ class Trainer:
                         return sparse_adamw_row_update(
                             tbl, m0, v0, ids_u, mask_u, g_u,
                             lr=schedule(outer), step_count=outer, cfg=sa_cfg,
+                            sr_key=sr_key,
                         )
 
                     new_table, m, v = jax.lax.cond(
@@ -625,7 +650,7 @@ class Trainer:
                     table, state.table_m, state.table_v,
                     ids_u, mask_u, g_u,
                     lr=schedule(state.step), step_count=state.step, cfg=sa_cfg,
-                    sub0=sub_u,
+                    sub0=sub_u, sr_key=sr_key,
                 )
                 params = _set_path(params, table_path, new_table)
                 new_state = state.replace(
@@ -970,16 +995,21 @@ class Trainer:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")
         needs_corpus = getattr(self.model, "needs_item_corpus_pass", False)
-        # rank-based metrics (GAUC) and raw-score resources need the full
-        # [B, H, I] score tensor — only feasible for corpora that fit
-        need_full = self.collector.register.need("rec.meanrank") or (
-            self.collector.register.need("rec.score")
-        )
+        # GAUC/meanrank streams (count-above-target per chunk) for single-head
+        # models — any process count, host-table compatible. Raw-score
+        # resources (rec.score) and multi-head meanrank still need the full
+        # [B, H, I] tensor, only feasible single-process on small corpora.
+        need_meanrank = self.collector.register.need("rec.meanrank")
+        need_score = self.collector.register.need("rec.score")
+        single_head = self.config["loss"] != "prior"
+        stream_meanrank = need_meanrank and single_head and not need_score
+        need_full = need_score or (need_meanrank and not stream_meanrank)
         if need_full and self.num_processes > 1:
             raise ValueError(
-                "full-score metrics (GAUC/meanrank/rec.score) are "
+                "full-score metrics (rec.score / multi-head meanrank) are "
                 "single-process only; drop them or evaluate on one host"
             )
+        self.collector.external_meanrank = stream_meanrank
         host_mode = self._use_host_item_table(needs_corpus, need_full)
         raw_item_table = None
         raw_host = norm_host = None
@@ -1018,12 +1048,13 @@ class Trainer:
 
         if host_mode:
             results = self._host_table_topk_results(
-                eval_batcher, raw_host, norm_host, item_tags, top_k
+                eval_batcher, raw_host, norm_host, item_tags, top_k,
+                stream_meanrank=stream_meanrank,
             )
         else:
             results = self._device_topk_results(
                 eval_batcher, item_feats, raw_item_table, item_tags, top_k,
-                need_full,
+                need_full, stream_meanrank=stream_meanrank,
             )
         for batch, n_real, topk_vals, topk_idx, pe in results:
             if need_full:
@@ -1207,7 +1238,8 @@ class Trainer:
             if mode in (True, "true", "True"):
                 raise ValueError(
                     "host_item_table is incompatible with full-score metrics "
-                    "(GAUC/meanrank/rec.score need [B, H, I] score tensors)"
+                    "(rec.score / multi-head meanrank need [B, H, I] score "
+                    "tensors; single-head GAUC streams fine)"
                 )
             return False
         if mode in (True, "true", "True"):
@@ -1270,7 +1302,8 @@ class Trainer:
         return local_shard(x)[:n_real]
 
     def _device_topk_results(self, eval_batcher, item_feats, raw_item_table,
-                             item_tags, top_k, need_full):
+                             item_tags, top_k, need_full,
+                             stream_meanrank=False):
         """Per-batch predict + streamed top-k with a device-resident table.
         With ``need_full`` the full masked score tensor rides in the
         topk_vals slot (GAUC / rec.score path).
@@ -1299,9 +1332,19 @@ class Trainer:
                 if n_real:
                     yield batch, n_real, full_scores, None, pe
                 continue
+            mr = None
+            if stream_meanrank:
+                tgt_items_dev = shard_batch(
+                    self.mesh, np.asarray(batch["item_target"], np.int32)
+                )
+                mr = self._init_meanrank_state(
+                    pe, dev, tgt_items_dev, item_feats[tgt_items_dev]
+                )
             topk_vals, topk_idx = self._stream_score_topk(
-                pe, item_feats, item_tags, dev, top_k
+                pe, item_feats, item_tags, dev, top_k, mr=mr
             )
+            if mr is not None and n_real:
+                self._finalize_meanrank(mr, n_real)
             if n_real:
                 yield (batch, n_real,
                        self._shard_local(topk_vals, n_real),
@@ -1309,7 +1352,7 @@ class Trainer:
                        {k: local_shard(v) for k, v in pe.items()})
 
     def _host_table_topk_results(self, eval_batcher, raw_host, norm_host,
-                                 item_tags, top_k):
+                                 item_tags, top_k, stream_meanrank=False):
         """Corpus-scale eval with a HOST-resident item table: phase A runs
         the user tower for every eval batch (sequence embeddings gathered
         host-side), phase B streams each normalized item chunk to the device
@@ -1341,7 +1384,9 @@ class Trainer:
             I = norm_host.shape[0]
             chunk = min(self.item_chunk_size, I)
             n_chunks = -(-I // chunk)
-            for ci in range(n_chunks):
+
+            def stage(ci):
+                """Issue the (async) H2D transfer for chunk ``ci`` now."""
                 off = ci * chunk
                 feats_np = norm_host[off:off + chunk]
                 tags_np = item_tags[off:off + chunk] if item_tags is not None else None
@@ -1355,6 +1400,18 @@ class Trainer:
                     put_replicated(self.mesh, tags_np)
                     if tags_np is not None else None
                 )
+                return feats_c, tags_c
+
+            # double-buffered streaming: device_put is async, so issuing
+            # chunk ci+1's transfer BEFORE scoring chunk ci lets the DMA ride
+            # under the scoring matmuls (VERDICT r3 #8) — on PCIe-attached
+            # TPU the transfer-bound phase roughly halves
+            nxt = stage(0)
+            for ci in range(n_chunks):
+                feats_c, tags_c = nxt
+                off = ci * chunk
+                if ci + 1 < n_chunks:
+                    nxt = stage(ci + 1)
                 for st in states:
                     st["run_vals"], st["run_idx"] = self._chunk_scorer(
                         self.state.params, st["head_embs"], st["switch_pred"],
@@ -1362,9 +1419,20 @@ class Trainer:
                         st["hist_r"], st["hist_c"],
                         st["run_vals"], st["run_idx"], top_k,
                     )
+                    mr = st.get("mr")
+                    if mr is not None:
+                        _, count_fn = self._get_meanrank_fns()
+                        mr["g"], mr["e"], mr["fin"] = count_fn(
+                            self.state.params, st["head_embs"],
+                            st["switch_pred"], feats_c, tags_c, st["tgt"],
+                            off, I, st["hist_r"], st["hist_c"],
+                            mr["tgt_score"], mr["g"], mr["e"], mr["fin"],
+                        )
             for st in states:
                 n_real = st["n_real"]
                 if n_real:
+                    if st.get("mr") is not None:
+                        self._finalize_meanrank(st["mr"], n_real)
                     yield (st["batch"], n_real,
                            self._shard_local(st["run_vals"], n_real),
                            self._shard_local(st["run_idx"], n_real),
@@ -1383,7 +1451,17 @@ class Trainer:
             B, H, _ = pe["head_embs"].shape
             Heff = 1 if (self.config["split_mode"] == "average" and H > 1) else H
             B_local = batch["item_seq"].shape[0]
+            mr = None
+            if stream_meanrank:
+                tgt_ids = np.asarray(batch["item_target"], np.int32)
+                mr = self._init_meanrank_state(
+                    pe, dev, shard_batch(self.mesh, tgt_ids),
+                    shard_batch(
+                        self.mesh, norm_host[tgt_ids].astype(np.float32)
+                    ),
+                )
             states.append({
+                "mr": mr,
                 "batch": batch, "n_real": n_real,
                 "head_embs": pe["head_embs"],
                 "switch_pred": pe.get("switch_pred"),
@@ -1409,10 +1487,13 @@ class Trainer:
                 states = []
         yield from flush(states)
 
-    def _stream_score_topk(self, pe, item_feats, item_tags, dev, top_k: int):
+    def _stream_score_topk(self, pe, item_feats, item_tags, dev, top_k: int,
+                           mr=None):
         """Chunked full-corpus scoring with pad/history masking and on-device
         per-head top-k merge. ``dev`` is the device-side eval batch from
-        ``_eval_device_batch`` (global arrays under multi-host)."""
+        ``_eval_device_batch`` (global arrays under multi-host). ``mr`` is an
+        optional streamed mean-rank state (see ``_get_meanrank_fns``) whose
+        counters advance alongside the top-k merge."""
         I = item_feats.shape[0]
         chunk = min(self.item_chunk_size, I)
         n_chunks = -(-I // chunk)
@@ -1453,6 +1534,13 @@ class Trainer:
                 dev["target_tags"], off, I, dev["hist_r"], dev["hist_c"],
                 run_vals, run_idx, top_k,
             )
+            if mr is not None:
+                _, count_fn = self._get_meanrank_fns()
+                mr["g"], mr["e"], mr["fin"] = count_fn(
+                    self.state.params, pe["head_embs"], switch_pred, feats_c,
+                    tags_c, dev["target_tags"], off, I, dev["hist_r"],
+                    dev["hist_c"], mr["tgt_score"], mr["g"], mr["e"], mr["fin"],
+                )
         return run_vals, run_idx
 
     def _full_scores(self, pe, item_feats, item_tags, batch):
@@ -1477,15 +1565,17 @@ class Trainer:
             scores = scores.at[hr, :, hc_safe].add(add[:, None])
         return scores
 
-    def _make_chunk_scorer(self):
+    def _masked_chunk_scores_closure(self):
+        """Shared chunk-scoring math (score_items + pad/history masking) used
+        by both the running-top-k scorer and the streamed mean-rank counter —
+        one definition so the two paths can never drift."""
         model = self.model
         split_mode = self.config["split_mode"]
         extra_vars = self.extra_vars
 
-        @partial(jax.jit, static_argnames=("top_k",))
-        def chunk_scorer(
+        def masked_chunk_scores(
             params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
-            off, item_num, hist_r, hist_c, run_vals, run_idx, top_k,
+            off, item_num, hist_r, hist_c,
         ):
             scores = model.apply(
                 {"params": params, **extra_vars}, head_embs, feats_c, tags_c,
@@ -1508,6 +1598,23 @@ class Trainer:
             col_safe = jnp.clip(col_local, 0, Ck - 1).astype(jnp.int32)
             add = jnp.where(ok, -jnp.inf, 0.0)
             scores = scores.at[hist_r, :, col_safe].add(add[:, None])
+            return scores
+
+        return masked_chunk_scores
+
+    def _make_chunk_scorer(self):
+        masked_chunk_scores = self._masked_chunk_scores_closure()
+
+        @partial(jax.jit, static_argnames=("top_k",))
+        def chunk_scorer(
+            params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
+            off, item_num, hist_r, hist_c, run_vals, run_idx, top_k,
+        ):
+            scores = masked_chunk_scores(
+                params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
+                off, item_num, hist_r, hist_c,
+            )
+            Ck = scores.shape[-1]
 
             k_eff = min(top_k, Ck)
             vals, idx = jax.lax.top_k(scores, k_eff)
@@ -1526,3 +1633,102 @@ class Trainer:
             return mvals, midx
 
         return chunk_scorer
+
+    # -- streamed mean-rank (GAUC without the [B, H, I] tensor) ------------
+    def _get_meanrank_fns(self):
+        """jitted (target_score_fn, count_fn) pair for the streamed GAUC
+        path (VERDICT r3 #5; reference collector.py:327-344 semantics).
+
+        The tie-averaged descending rank of target t is
+        ``count(score > s_t) + (count(score == s_t) + 1) / 2`` and
+        ``user_len = count(score > -inf)`` (the corpus minimum is always
+        -inf: pad item 0 is masked), so all three GAUC inputs are sums of
+        per-chunk counts — no full score tensor, works multi-process and in
+        host-table mode. Single-head models only (the reference's meanrank
+        collection also breaks for H > 1: its pos_matrix scatter assumes
+        [B, I] scores)."""
+        if getattr(self, "_meanrank_fns", None) is not None:
+            return self._meanrank_fns
+        masked_chunk_scores = self._masked_chunk_scores_closure()
+
+        @jax.jit
+        def target_score_fn(head_embs, tgt_feats, tgt_items, hist_r, hist_c):
+            # head_embs [B, 1, D] normalized; tgt_feats [B, P, D] normalized.
+            # Same contraction as score_items' bhd,id->bhi chunk matmul so
+            # the self-equality count lands bit-exactly.
+            s = jnp.einsum("bhd,bpd->bhp", head_embs, tgt_feats)[:, 0]
+            s = jnp.where(tgt_items == 0, -jnp.inf, s)  # pad item mask
+            ok = hist_c >= 0
+            eq = (tgt_items[hist_r] == hist_c[:, None]) & ok[:, None]  # [Hn, P]
+            hit = jnp.zeros(s.shape, bool).at[hist_r].max(eq)
+            return jnp.where(hit, -jnp.inf, s)
+
+        @jax.jit
+        def count_fn(
+            params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
+            off, item_num, hist_r, hist_c, tgt_score, g_cnt, e_cnt, fin_cnt,
+        ):
+            scores = masked_chunk_scores(
+                params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
+                off, item_num, hist_r, hist_c,
+            )[:, 0]  # [B, Ck] — single-head
+            Ck = scores.shape[-1]
+            gid = off + jnp.arange(Ck)
+            valid = gid < item_num  # excludes the static-shape tail padding
+            fin_cnt = fin_cnt + (scores > -jnp.inf).sum(-1).astype(jnp.int32)
+            g_new, e_new = [], []
+            for p in range(tgt_score.shape[1]):  # P is small and static
+                sp = tgt_score[:, p][:, None]
+                # invalid tail rows are -inf, never > sp; equality needs the
+                # explicit valid mask (an -inf target equals the -inf tail)
+                g_new.append((scores > sp).sum(-1))
+                e_new.append(((scores == sp) & valid[None, :]).sum(-1))
+            g_cnt = g_cnt + jnp.stack(g_new, 1).astype(jnp.int32)
+            e_cnt = e_cnt + jnp.stack(e_new, 1).astype(jnp.int32)
+            return g_cnt, e_cnt, fin_cnt
+
+        self._meanrank_fns = (target_score_fn, count_fn)
+        return self._meanrank_fns
+
+    def _init_meanrank_state(self, pe, dev, tgt_items_dev, tgt_feats_dev):
+        """Per-batch device accumulators for the streamed mean-rank path."""
+        target_score_fn, _ = self._get_meanrank_fns()
+        B_local = local_shard(tgt_items_dev).shape[0]
+        P = local_shard(tgt_items_dev).shape[1]
+        zeros_bp = shard_batch(self.mesh, np.zeros((B_local, P), np.int32))
+        zeros_b = shard_batch(self.mesh, np.zeros((B_local,), np.int32))
+        return {
+            "tgt_items": tgt_items_dev,
+            "tgt_score": target_score_fn(
+                pe["head_embs"], tgt_feats_dev, tgt_items_dev,
+                dev["hist_r"], dev["hist_c"],
+            ),
+            "g": zeros_bp, "e": zeros_bp, "fin": zeros_b,
+        }
+
+    def _finalize_meanrank(self, mr, n_real: int):
+        """Turn accumulated counts into per-horizon
+        [pos_rank_sum, user_len, pos_len] rows (reference meanrank layout)
+        and hand them to the collector. Duplicate target ids within a
+        horizon collapse (the reference's pos_matrix scatter is a set)."""
+        g = self._shard_local(mr["g"], n_real).astype(np.float64)
+        e = self._shard_local(mr["e"], n_real).astype(np.float64)
+        fin = self._shard_local(mr["fin"], n_real).astype(np.float64)
+        ids = self._shard_local(mr["tgt_items"], n_real)
+        rank = g + (e + 1.0) / 2.0
+        P = ids.shape[1]
+        first = np.ones(ids.shape, bool)
+        for j in range(1, P):
+            first[:, j] = ~(ids[:, :j] == ids[:, j : j + 1]).any(axis=1)
+        rows = {}
+        for p in self.metrics_pred_len_list:
+            m = first[:, : p + 1]
+            rows[p] = np.stack(
+                [
+                    (rank[:, : p + 1] * m).sum(1),
+                    fin,
+                    m.sum(1).astype(np.float64),
+                ],
+                axis=1,
+            )
+        self.collector.meanrank_rows_collect(rows)

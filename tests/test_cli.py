@@ -19,7 +19,10 @@ def test_run_cli_end_to_end(synth_dir, tmp_path):
     args = [
         sys.executable, "-c", code,
         "--config_file", "IDNet/hstu-size1.yaml", "overall/ID.yaml", "IDNet/hstu.yaml",
+        # runtime knobs (reference run.py:176-187 allocator/TF32 surface)
+        "--xla_flags=--xla_cpu_enable_fast_math=false",
         "--",
+        "--matmul_precision", "highest",
         "--data_path", synth_dir["data_path"],
         "--dataset", synth_dir["name"],
         "--text_path", synth_dir["text_path"],

@@ -9,7 +9,9 @@ from mhrec_tpu.trainer import Trainer
 from tests.conftest import make_config
 
 
-def test_gauc_full_score_path(synth_dir, tmp_path_factory):
+def test_gauc_streamed_matches_full_score_path(synth_dir, tmp_path_factory):
+    """Single-head GAUC streams (count-above-target per chunk, VERDICT r3 #5)
+    and must match the full-[B,H,I]-tensor path on the same trained params."""
     cfg = make_config(
         synth_dir, metrics=["Recall", "NDCG", "GAUC"], total_iters=2,
         checkpoint_dir=str(tmp_path_factory.mktemp("g")),
@@ -19,10 +21,31 @@ def test_gauc_full_score_path(synth_dir, tmp_path_factory):
     t = Trainer(cfg, data)
     t.setup_model()
     t.fit(train, None)
-    res = t.evaluate(test, load_best_model=False)
-    last = res[f"pred_{cfg['eval_pred_len'] - 1}"]
+    res_stream = t.evaluate(test, load_best_model=False)
+    last = res_stream[f"pred_{cfg['eval_pred_len'] - 1}"]
     assert "gauc" in last and 0.0 <= last["gauc"] <= 1.0
     assert "recall@10" in last
+
+    # force the legacy full-score path by pretending rec.score is needed
+    orig_need = t.collector.register.need
+    t.collector.register.need = (
+        lambda k: True if k == "rec.score" else orig_need(k)
+    )
+    try:
+        res_full = t.evaluate(test, load_best_model=False)
+    finally:
+        t.collector.register.need = orig_need
+    for section in res_stream:
+        for k, v in res_stream[section].items():
+            # gauc: the full path's one [I]-wide matmul and the streamed
+            # chunk matmuls round differently at the ulp level, so the
+            # self-item tie can resolve either way → per-target rank noise
+            # of ±1, which bounds the gauc gap at ~P/(neg·pos) per user.
+            # All other metrics ride the unchanged chunked top-k path.
+            tol = 5e-4 if k == "gauc" else 2e-6
+            assert res_full[section][k] == pytest.approx(v, abs=tol), (
+                section, k, v, res_full[section][k]
+            )
 
 
 def test_average_split_mode_end_to_end(synth_dir, tmp_path_factory):
@@ -137,6 +160,7 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
         tag_version="v1",
         eval_pred_len=2, pred_len=2,
         topk=[5, 10],
+        metrics=["Recall", "NDCG", "GAUC"],  # GAUC streams in host mode too
         total_iters=2, eval_interval=100,
         eval_item_chunk_size=64,  # force several chunks over the 300-item corpus
         checkpoint_dir=str(tmp_path_factory.mktemp("host_tbl")),
@@ -162,5 +186,11 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
     assert res_dev.keys() == res_host.keys() == res_tiled.keys()
     for section in res_dev:
         for k, v in res_dev[section].items():
-            assert abs(v - res_host[section][k]) < 1e-6, (section, k, v, res_host[section][k])
-            assert abs(v - res_tiled[section][k]) < 1e-6, (section, k, v, res_tiled[section][k])
+            # gauc tolerance: host-side np normalization vs device jnp
+            # normalization produce ulp-different item TABLES, and the
+            # barely-trained dummy model's scores are near-degenerate, so
+            # rank counts are tie-sensitive across the two roundings (see
+            # test_gauc_streamed_matches_full_score_path)
+            tol = 2e-3 if k == "gauc" else 1e-6
+            assert abs(v - res_host[section][k]) < tol, (section, k, v, res_host[section][k])
+            assert abs(v - res_tiled[section][k]) < tol, (section, k, v, res_tiled[section][k])

@@ -120,7 +120,33 @@ def test_gauc_path():
     col.eval_batch_collect(scores=scores, positive_i=positive)
     struct = col.get_data_struct(3)
     res = Evaluator(cfg).evaluate(struct, pred_len=3)
-    assert 0.0 <= res["gauc"] <= 1.0
+    # tuple (weighted sum, weight) form — exact under cross-host SUM-reduce
+    val, weight = res["gauc"]
+    assert weight > 0 and 0.0 <= val / weight <= 1.0
+
+
+def test_gauc_tuple_split_invariance():
+    """Splitting users across two collectors and SUM-reducing the tuples
+    must reproduce the single-collector GAUC exactly (the multi-process
+    reduction semantics, reference trainer.py:1059-1075)."""
+    cfg = _cfg(metrics=["GAUC"], shared_metrics=[], topk=[5])
+    rng = np.random.default_rng(5)
+    scores = rng.normal(size=(8, 1, 50)).astype(np.float32)
+    positive = rng.integers(1, 50, size=(8, 4))
+
+    col = Collector(cfg)
+    col.eval_batch_collect(scores=scores, positive_i=positive)
+    val, n = Evaluator(cfg).evaluate(col.get_data_struct(3), pred_len=3)["gauc"]
+
+    parts = []
+    for sl in (slice(0, 3), slice(3, 8)):
+        c = Collector(cfg)
+        c.eval_batch_collect(scores=scores[sl], positive_i=positive[sl])
+        parts.append(Evaluator(cfg).evaluate(c.get_data_struct(3), pred_len=3)["gauc"])
+    val2 = sum(p[0] for p in parts)
+    n2 = sum(p[1] for p in parts)
+    assert n2 == n
+    assert val2 / n2 == pytest.approx(val / n, abs=1e-12)
 
 
 def test_average_split_mode():

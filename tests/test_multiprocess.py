@@ -206,6 +206,59 @@ def test_two_process_train_matches_composed_single_process(synth_dir, tmp_path):
             )
 
 
+@pytest.mark.slow
+def test_two_process_gauc_matches_composed(synth_dir, tmp_path):
+    """Streamed single-head GAUC under 2 true processes must equal the
+    composed single-process value (VERDICT r3 #5: the reference raises
+    here; the tuple-form metric + per-chunk rank counting make the
+    reduction exact on any process count)."""
+    from mhrec_tpu.trainer import Trainer
+
+    extra = dict(loss="nce", metrics=["Recall", "NDCG", "GAUC"])
+    mp_results = _spawn_workers(synth_dir, str(tmp_path), extra=extra)
+
+    cfg = Config(
+        config_file_list=[
+            "IDNet/hstu-size1.yaml", "overall/ID.yaml", "IDNet/hstu.yaml",
+        ],
+        config_dict=dict(
+            BASE_OVERRIDES,
+            **extra,
+            data_path=synth_dir["data_path"], dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            checkpoint_dir=str(tmp_path / "ref_ckpt_gauc"),
+            sparse_adam_global_dedup=True,
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    trainer = Trainer(cfg, data)
+    import jax
+
+    from mhrec_tpu.parallel.mesh import make_mesh
+
+    trainer.mesh = make_mesh(jax.devices()[: N_PROC * DEV_PER_PROC])
+    trainer.setup_model()
+    trainer.fit(ComposedBatcher(cfg, data), None)
+
+    result = trainer.evaluate(
+        SeqEvalBatcher(cfg, data, phase="test"), load_best_model=False
+    )
+    mp_metrics = mp_results[0]["result"]
+    for section, metrics in result.items():
+        for k, v in metrics.items():
+            # gauc is tie-sensitive at the score ulp level (self-item
+            # equality count); everything else matches tightly
+            tol = 2e-3 if k.startswith("Entropy") else (
+                5e-4 if k == "gauc" else 3e-5
+            )
+            assert mp_metrics[section][k] == pytest.approx(v, abs=tol), (
+                section, k, v, mp_metrics[section][k]
+            )
+    assert any(
+        "gauc" in m for m in (set(v) for v in result.values())
+    ), "GAUC missing from eval sections"
+
+
 HLLM_OVERRIDES = dict(
     model="HLLM",
     dummy_llm=True,

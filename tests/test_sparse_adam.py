@@ -266,3 +266,78 @@ def test_no_dense_moments_for_table(synth_dir, model):
     )
     # and the row-sparse moments DO exist (trainer-owned, outside optax)
     assert t.state.table_m.shape == table.shape
+
+
+# ---------------------------------------------------------------------------
+# bf16 item-table storage (item_table_dtype: bfloat16, VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+def test_quantize_bf16_stochastic_rounding():
+    from mhrec_tpu.trainer.sparse_adam import quantize_bf16
+
+    # on-grid values pass through exactly, both modes
+    on_grid = jnp.asarray([1.0, -2.5, 0.0, 3.0], jnp.float32)
+    np.testing.assert_array_equal(np.asarray(quantize_bf16(on_grid)), np.asarray(on_grid))
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_array_equal(
+        np.asarray(quantize_bf16(on_grid, key)), np.asarray(on_grid)
+    )
+    # off-grid: SR is unbiased in expectation; nearest is deterministic
+    x = jnp.full((20000,), 1.0 + 2.0 ** -10, jnp.float32)  # 1/8 ulp above 1.0
+    q = np.asarray(quantize_bf16(x, key), np.float64)
+    ulp = 2.0 ** -7  # bf16: 7 mantissa bits → ulp(1.0) = 2^-7
+    assert set(np.unique(q)) <= {1.0, 1.0 + ulp}
+    frac_up = (q > 1.0).mean()
+    assert abs(frac_up - 0.125) < 0.02, frac_up  # E[q] == x
+    assert float(quantize_bf16(x[:1])[0]) == 1.0  # nearest rounds down
+
+
+def test_bf16_table_trains_and_tracks_f32(synth_dir, tmp_path):
+    """bf16-stored item table: param dtype is bf16, moments stay f32, the
+    loss trajectory tracks the f32-table run closely, and checkpoints
+    round-trip the dtype."""
+    def run(dtype, ckpt):
+        cfg = make_config(
+            synth_dir, sparse_item_adam=True, item_table_dtype=dtype,
+            total_iters=30, eval_interval=1000, update_interval=1,
+            checkpoint_dir=ckpt,
+        )
+        data = InteractionData(cfg).build()
+        train, _, _ = build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model(seed=3)
+        stats = t.fit(train, None)
+        return t, stats
+
+    t16, s16 = run("bfloat16", str(tmp_path / "b"))
+    table = t16.state.params["item_embedding"]["embedding"]
+    assert table.dtype == jnp.bfloat16
+    assert t16.state.table_m.dtype == jnp.float32
+    t32, s32 = run("float32", str(tmp_path / "f"))
+    # same data/seed/rng streams: trajectories coincide up to storage noise
+    assert np.isfinite(s16["loss"]) and np.isfinite(s32["loss"])
+    assert abs(s16["loss"] - s32["loss"]) < 0.02 * max(1.0, abs(s32["loss"])), (
+        s16["loss"], s32["loss"])
+
+    # checkpoint round-trip keeps the bf16 table bit-exactly
+    t16.save_checkpoint()
+    cfg2 = make_config(
+        synth_dir, sparse_item_adam=True, item_table_dtype="bfloat16",
+        total_iters=30, eval_interval=1000,
+        checkpoint_dir=str(tmp_path / "b"),
+    )
+    data2 = InteractionData(cfg2).build()
+    t2 = Trainer(cfg2, data2)
+    t2.setup_model(seed=9)
+    assert t2.load_checkpoint()
+    restored = t2.state.params["item_embedding"]["embedding"]
+    assert restored.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restored, np.float32), np.asarray(table, np.float32)
+    )
+
+
+def test_bf16_table_requires_sparse_adam(synth_dir):
+    cfg = make_config(synth_dir, item_table_dtype="bfloat16")
+    data = InteractionData(cfg).build()
+    with pytest.raises(ValueError, match="sparse_item_adam"):
+        Trainer(cfg, data)

@@ -863,3 +863,89 @@ def test_dynamic_anyres_end_to_end(synth_dir, tmp_path_factory, tmp_path):
     assert stats["iters"] == 2
     res = t.evaluate(test, load_best_model=False)
     assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
+
+
+# ---------------------------------------------------------------------------
+# Video inputs (reference qwen_vl_utils.py video branch)
+# ---------------------------------------------------------------------------
+def test_smart_nframes_reference_semantics():
+    from mhrec_tpu.data.vision import smart_nframes
+
+    # explicit nframes rounds to FRAME_FACTOR (banker's round, like the
+    # reference's round_by_factor: round(5/2)=2 → 4)
+    assert smart_nframes({"nframes": 5}, total_frames=100, video_fps=30) == 4
+    assert smart_nframes({"nframes": 7}, total_frames=100, video_fps=30) == 8
+    # fps mode: 100 frames @30fps sampled at 2fps → 6.67 → clamp/round
+    n = smart_nframes({}, total_frames=100, video_fps=30.0)
+    assert n == 6  # round_by_factor(6.67, 2)
+    # min_frames clamp
+    assert smart_nframes({}, total_frames=10, video_fps=30.0) == 4
+    # explicit fps + max_frames clamp
+    assert smart_nframes({"fps": 30.0, "max_frames": 8},
+                         total_frames=100, video_fps=30.0) == 8
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        smart_nframes({"nframes": 200}, total_frames=100, video_fps=30)
+    with _pt.raises(AssertionError):
+        smart_nframes({"nframes": 4, "fps": 2}, total_frames=100, video_fps=30)
+
+
+def test_fetch_video_frame_list_pads_to_frame_factor():
+    from PIL import Image
+
+    from mhrec_tpu.data.vision import fetch_video
+
+    rng = np.random.default_rng(0)
+    frames = [
+        Image.fromarray(rng.integers(0, 255, (40, 52, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    out = fetch_video({"video": frames})
+    assert len(out) == 4  # padded to FRAME_FACTOR multiple, last repeated
+    assert out[3] == out[2]
+    # smart-resized to factor-28 dims
+    assert out[0].height % 28 == 0 and out[0].width % 28 == 0
+
+
+def test_patchify_video_matches_hf_processor():
+    """Bit-parity of the video patch flattening (REAL temporal pairs) with
+    HF Qwen2VLImageProcessor's video path."""
+    from transformers import Qwen2VLImageProcessor
+
+    from mhrec_tpu.data.vision import patchify_video
+
+    rng = np.random.default_rng(1)
+    T, H, W = 4, 56, 84
+    frames_hwc = rng.integers(0, 255, (T, H, W, 3), dtype=np.uint8)
+    proc = Qwen2VLImageProcessor(do_resize=False)
+    ref = proc(images=None, videos=[list(frames_hwc)], return_tensors="np")
+    ours, grid = patchify_video(
+        np.asarray(frames_hwc, np.float32).transpose(0, 3, 1, 2))
+    assert tuple(ref["video_grid_thw"][0]) == grid
+    np.testing.assert_allclose(
+        ours, ref["pixel_values_videos"], rtol=0, atol=2e-6
+    )
+
+
+def test_patchify_video_odd_frames_repeat_last():
+    from mhrec_tpu.data.vision import patchify_video
+
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(0, 255, (3, 3, 28, 28)).astype(np.float32)
+    p3, g3 = patchify_video(frames)
+    p4, g4 = patchify_video(
+        np.concatenate([frames, frames[-1:]], axis=0))
+    assert g3 == g4 == (2, 2, 2)
+    np.testing.assert_array_equal(p3, p4)
+
+
+def test_video_file_decode_unavailable_is_loud():
+    from mhrec_tpu.data.vision import fetch_video
+
+    try:
+        import torchvision  # noqa: F401
+        pytest.skip("torchvision available; decode path would run")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="list of frame images"):
+        fetch_video({"video": "/tmp/nonexistent.mp4"})

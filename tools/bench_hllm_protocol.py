@@ -45,16 +45,20 @@ def tower_dir(n_layers=22, hidden=2048, heads=32, kv_heads=4,
     return d
 
 
-def build(config_dict, num_items=2000):
+def build(config_dict, num_items=2000, data_dir=None):
     from mhrec_tpu.config import Config
     from mhrec_tpu.data import InteractionData, build_dataloader
     from mhrec_tpu.data.synthetic import generate_synthetic_dataset
     from mhrec_tpu.trainer import Trainer
 
-    tmp = tempfile.mkdtemp(prefix="mhrec_proto_")
-    meta = generate_synthetic_dataset(
-        tmp, num_users=1024, num_items=num_items, seed=0, text_words=256
-    )
+    tmp = data_dir or tempfile.mkdtemp(prefix="mhrec_proto_")
+    if data_dir and os.path.exists(os.path.join(tmp, "SynthRec.parquet")):
+        meta = {"name": "SynthRec",
+                "text_path": os.path.join(tmp, "SynthRec-info.parquet")}
+    else:
+        meta = generate_synthetic_dataset(
+            tmp, num_users=1024, num_items=num_items, seed=0, text_words=256
+        )
     base = dict(
         data_path=tmp, dataset=meta["name"], text_path=meta["text_path"],
         MAX_ITEM_LIST_LENGTH=10, MAX_TEXT_LENGTH=256,
@@ -166,7 +170,8 @@ def bench_freeze(layers):
     }
 
 
-def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None):
+def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None,
+               extra=None, tag="", data_dir=None):
     """Full two-tower packed train step at 256 tokens.
 
     The protocol 2×1.1B pair cannot fit one 16 GB v5e chip: beyond the fp32
@@ -178,19 +183,51 @@ def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None):
     intermediate = intermediate or int(hidden * 11 // 4)
     t_dir = tower_dir(n_layers=layers, hidden=hidden, heads=heads,
                       kv_heads=kv, intermediate=intermediate)
-    config, data, train, trainer = build(
-        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
-             item_llm_init=False, user_llm_init=False, dummy_llm=False,
-             packed_item_tower=True, adam_mu_dtype="bfloat16",
-             adam_nu_dtype="bfloat16"),
-    )
+    over = dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
+                item_llm_init=False, user_llm_init=False, dummy_llm=False,
+                packed_item_tower=True, adam_mu_dtype="bfloat16",
+                adam_nu_dtype="bfloat16")
+    over.update(extra or {})
+    config, data, train, trainer = build(over, data_dir=data_dir)
     p_all = n_params(trainer.state.params)
+    # packed-chunk occupancy: real (non-pad) tokens over chunk capacity
+    occupancy = None
+    b0 = next(iter(train.epoch_batches(0)))
+    for k, v in b0.items():
+        if k.endswith("packed_segment_ids"):
+            occupancy = round(float((v != 0).mean()), 3)
+            break
     step_ms = _time_train(trainer, train, steps=8)
     return {
-        "metric": f"hllm_train_pair_{layers}L{hidden}d_{p_all/1e9:.2f}B-total_seq10_txt256_bs16_neg512_packed",
+        "metric": f"hllm_train_pair_{layers}L{hidden}d_{p_all/1e9:.2f}B-total"
+                  f"_seq10_txt256_bs16_neg512_packed{tag}",
         "step_ms": round(step_ms, 1),
         "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
+        "packed_occupancy": occupancy,
     }
+
+
+def bench_remat(layers=None, hidden=1024):
+    """remat-policy sweep at the largest one-chip pair shape (VERDICT r3
+    #7): full per-layer remat vs ``dots`` (save matmul outputs, recompute
+    elementwise) vs remat off — each measured end-to-end at the text-256
+    packed protocol shape."""
+    layers = layers or 8
+    rows = []
+    ds = tempfile.mkdtemp(prefix="mhrec_remat_ds_")  # shared token cache
+    for tag, extra in [
+        ("_remat-full", dict(gradient_checkpointing=True, remat_policy="full")),
+        ("_remat-dots", dict(gradient_checkpointing=True, remat_policy="dots")),
+        ("_remat-off", dict(gradient_checkpointing=False)),
+    ]:
+        try:
+            rows.append(bench_pair(layers, hidden=hidden, heads=16, kv=4,
+                                   extra=extra, tag=tag, data_dir=ds))
+        except Exception as e:  # OOM at this shape is a result, not a crash
+            rows.append({"metric": f"hllm_train_pair_{layers}L{hidden}d{tag}",
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"})
+        print(json.dumps(rows[-1]))
+    return rows
 
 
 if __name__ == "__main__":
@@ -200,6 +237,7 @@ if __name__ == "__main__":
         "corpus": (bench_corpus, [22]),
         "freeze": (bench_freeze, [22, 14, 8]),
         "pair": (bench_pair, [12, 8, 5]),
+        "remat": (bench_remat, [8]),
     }
     for name, (fn, fallbacks) in jobs.items():
         if which not in ("all", name):
