@@ -193,7 +193,7 @@ class VisionBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, cos, sin, valid=None):
+    def __call__(self, x, cos, sin, valid=None, seg=None):
         c = self.config
         D, H = c.embed_dim, c.num_heads
         dh = c.head_dim
@@ -208,6 +208,13 @@ class VisionBlock(nn.Module):
         if valid is not None:  # dynamic grids: mask padded patch keys
             scores = jnp.where(
                 valid[:, None, None, :], scores, jnp.finfo(scores.dtype).min
+            )
+        if seg is not None:
+            # video: attention is block-diagonal per temporal patch group
+            # (reference Qwen2VL cu_seqlens = repeat_interleave(h·w, t))
+            same = seg[:, None] == seg[None, :]
+            scores = jnp.where(
+                same[None, None], scores, jnp.finfo(scores.dtype).min
             )
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         ctx = jnp.einsum("nhpq,nqhd->nphd", probs, v).reshape(N, P, D)
@@ -229,6 +236,11 @@ class VisionTower(nn.Module):
     grid_w: int
     dtype: Any = jnp.bfloat16
     gradient_checkpointing: bool = False
+    # video: temporal patch groups (= T // temporal_patch_size). The rotary
+    # (h, w) tables tile per group and attention is block-diagonal per
+    # group (reference Qwen2VL rot_pos_emb .repeat(t, 1) + cu_seqlens =
+    # repeat_interleave(h·w, t)).
+    grid_t: int = 1
 
     @nn.compact
     def __call__(self, patches: jnp.ndarray, patch_valid=None,
@@ -246,13 +258,20 @@ class VisionTower(nn.Module):
             cos, sin = vision_rotary_from_hw(patch_hw, c.head_dim)
         else:
             cos, sin = vision_rotary_tables(self.grid_h, self.grid_w, m, c.head_dim)
+            if self.grid_t > 1:
+                cos = np.tile(cos, (self.grid_t, 1))
+                sin = np.tile(sin, (self.grid_t, 1))
             cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        seg = None
+        if self.grid_t > 1:
+            seg = jnp.repeat(jnp.arange(self.grid_t),
+                             self.grid_h * self.grid_w)
         block_cls = VisionBlock
         if self.gradient_checkpointing:
             block_cls = nn.remat(VisionBlock)
         for i in range(c.depth):
             x = block_cls(c, self.dtype, name=f"blocks_{i}")(
-                x, cos, sin, patch_valid
+                x, cos, sin, patch_valid, seg
             )
         # PatchMerger (reference modeling_qwen2_vl.py:1089): LN then merge
         # each 2×2 group (consecutive in patch order) into one token.

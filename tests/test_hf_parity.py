@@ -393,3 +393,57 @@ def test_sliding_window_packed_matches_manual():
     probs = probs / probs.sum(-1, keepdims=True)
     ref = np.einsum("hst,thd->shd", probs, v)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_qwen2vl_vision_tower_video_matches_hf():
+    """Video input (grid_t=2, real temporal frame pairs): our VisionTower
+    with tiled rotary tables vs HF on the same weights and patch stream."""
+    try:
+        from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+            Qwen2VisionTransformerPretrainedModel,
+        )
+        from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+            Qwen2VLVisionConfig,
+        )
+    except ImportError:
+        pytest.skip("transformers lacks qwen2_vl")
+
+    from mhrec_tpu.data.vision import patchify_video
+    from mhrec_tpu.models.llm.vision import (
+        VisionConfig, VisionTower, load_vision_params,
+    )
+
+    vps, vdim, vdepth = 4, 16, 2
+    hf_cfg = Qwen2VLVisionConfig(
+        depth=vdepth, embed_dim=vdim, hidden_size=24, num_heads=4,
+        mlp_ratio=2, patch_size=vps, temporal_patch_size=2,
+        spatial_merge_size=2, in_channels=3,
+    )
+    torch.manual_seed(11)
+    hf = Qwen2VisionTransformerPretrainedModel(hf_cfg).float().eval()
+    sd = {f"visual.{k}": v.numpy() for k, v in hf.state_dict().items()}
+    vcfg = VisionConfig(
+        embed_dim=vdim, depth=vdepth, num_heads=4, mlp_ratio=2,
+        patch_size=vps, temporal_patch_size=2, spatial_merge_size=2,
+        hidden_size=24, hidden_act="quick_gelu",
+    )
+    params = load_vision_params(sd, vcfg)
+
+    # 4 frames of 16x16 → grid (2, 4, 4) via the REAL temporal-pair path
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 255, (4, 3, 16, 16)).astype(np.float32)
+    patches, (gt, gh, gw) = patchify_video(
+        frames, patch_size=vps, temporal_patch_size=2, merge_size=2)
+    assert (gt, gh, gw) == (2, 4, 4)
+
+    with torch.no_grad():
+        ref = hf(torch.tensor(patches),
+                 grid_thw=torch.tensor([[gt, gh, gw]])).numpy()
+
+    tower = VisionTower(vcfg, grid_h=gh, grid_w=gw, dtype=jnp.float32,
+                        grid_t=gt)
+    out = np.asarray(tower.apply(
+        {"params": params}, jnp.asarray(patches[None])))
+    np.testing.assert_allclose(
+        out.reshape(-1, 24), ref, rtol=3e-4, atol=3e-4
+    )
