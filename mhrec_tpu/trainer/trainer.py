@@ -1311,10 +1311,27 @@ class Trainer:
         Every host walks the SAME number of batches (the batcher pads with
         empty ones) and joins every device call — skipping would desync the
         SPMD program across hosts; empty batches are dropped only AFTER the
-        device work, host-side."""
+        device work, host-side.
+
+        One-deep pipelining: device work (predict + chunked top-k) for batch
+        i+1 is ENQUEUED before batch i's results are materialized to host
+        numpy, so the device computes while the consumer (collector fusion,
+        metric rows) runs on the host — jax's async dispatch provides the
+        overlap for free once the blocking np.asarray is deferred."""
         predict_fn = self._get_predict_fn(
             "table" if raw_item_table is not None else "plain"
         )
+
+        def materialize(p):
+            batch, n_real, topk_vals, topk_idx, pe, mr = p
+            if mr is not None:
+                self._finalize_meanrank(mr, n_real)
+            return (batch, n_real,
+                    self._shard_local(topk_vals, n_real),
+                    self._shard_local(topk_idx, n_real),
+                    {k: local_shard(v) for k, v in pe.items()})
+
+        pending = None
         for batch in eval_batcher.batches():
             n_real = int(batch["sample_weight"].sum())
             if n_real == 0 and self.num_processes == 1:
@@ -1343,13 +1360,12 @@ class Trainer:
             topk_vals, topk_idx = self._stream_score_topk(
                 pe, item_feats, item_tags, dev, top_k, mr=mr
             )
-            if mr is not None and n_real:
-                self._finalize_meanrank(mr, n_real)
             if n_real:
-                yield (batch, n_real,
-                       self._shard_local(topk_vals, n_real),
-                       self._shard_local(topk_idx, n_real),
-                       {k: local_shard(v) for k, v in pe.items()})
+                if pending is not None:
+                    yield materialize(pending)
+                pending = (batch, n_real, topk_vals, topk_idx, pe, mr)
+        if pending is not None:
+            yield materialize(pending)
 
     def _host_table_topk_results(self, eval_batcher, raw_host, norm_host,
                                  item_tags, top_k, stream_meanrank=False):
