@@ -135,6 +135,9 @@ def _measure_hstu(overrides, n_short=10, n_long=60):
 def main():
     import jax
 
+    from mhrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()  # steady-state timing is unaffected; reruns skip compiles
     n_devices = jax.local_device_count()
     num_items = int(os.environ.get("BENCH_NUM_ITEMS", 200_000))
     size4 = dict(

@@ -21,7 +21,7 @@ from mhrec_tpu.config import Config
 from mhrec_tpu.data import InteractionData, build_dataloader
 from mhrec_tpu.trainer import Trainer
 from mhrec_tpu.utils import init_logger
-from mhrec_tpu.utils.misc import init_seed
+from mhrec_tpu.utils.misc import enable_compilation_cache, init_seed
 
 logger = logging.getLogger(__name__)
 
@@ -56,6 +56,11 @@ def run_loop(config_files, extra_args, multihost: bool = False,
         jax.config.update(
             "jax_default_matmul_precision", str(config["matmul_precision"])
         )
+    if config.get("compilation_cache") is not False:
+        # persistent XLA compile cache (default on): repeated processes —
+        # val_only reruns, resume, bench tools — skip recompiling the
+        # protocol step/eval programs
+        enable_compilation_cache(config.get("compilation_cache_dir"))
     init_seed(
         config["seed"] or 2020, config["reproducibility"],
         prng_impl=config.get("prng_impl"),

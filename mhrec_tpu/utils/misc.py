@@ -36,6 +36,43 @@ def init_seed(
         jax.config.update("jax_default_prng_impl", prng_impl)
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Turn on JAX's persistent compilation cache (default-on framework
+    feature; the reference has no equivalent — torch eager needs none, but
+    under XLA every fresh process otherwise re-pays the 20-40 s protocol
+    compiles: ``val_only`` reruns, resumed runs, bench tools).
+
+    ``cache_dir``: explicit directory, or None for
+    ``$MHREC_COMPILE_CACHE`` → ``~/.cache/mhrec_tpu/xla``. Pass the config
+    value of ``compilation_cache_dir``; set ``compilation_cache: false`` in
+    config to skip calling this. Returns the directory actually enabled, or
+    None when the cache could not be set up (soft failure — compilation
+    still works, just uncached).
+    """
+    import os
+
+    path = (
+        cache_dir
+        or os.environ.get("MHREC_COMPILE_CACHE")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "mhrec_tpu", "xla"
+        )
+    )
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache anything that took >=1 s to compile regardless of size —
+        # the default floats a min-entry-size gate that skips small-but-
+        # slow-to-compile TPU executables
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        return path
+    except Exception:  # pragma: no cover - depends on jax build/filesystem
+        return None
+
+
 def get_model(model_name: str):
     """Resolve a model class by name from models.idnet then models.hllm."""
     for pkg in ("mhrec_tpu.models.idnet", "mhrec_tpu.models.hllm"):

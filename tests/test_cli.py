@@ -75,3 +75,26 @@ def test_reproduce_script_flags_are_known_keys():
             if key not in source:
                 missing.setdefault(script.name, []).append(f)
     assert not missing, f"unknown flags in reproduce scripts: {missing}"
+
+
+def test_enable_compilation_cache_sets_jax_config(tmp_path, monkeypatch):
+    """The persistent-compile-cache helper points jax at the requested
+    directory (explicit arg > env > default) and returns it; run.py calls
+    it unless ``compilation_cache: false``."""
+    import jax
+
+    from mhrec_tpu.utils.misc import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        explicit = tmp_path / "explicit"
+        assert enable_compilation_cache(str(explicit)) == str(explicit)
+        assert jax.config.jax_compilation_cache_dir == str(explicit)
+        assert explicit.is_dir()
+
+        via_env = tmp_path / "env"
+        monkeypatch.setenv("MHREC_COMPILE_CACHE", str(via_env))
+        assert enable_compilation_cache() == str(via_env)
+        assert jax.config.jax_compilation_cache_dir == str(via_env)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

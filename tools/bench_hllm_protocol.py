@@ -17,7 +17,7 @@ by tools/dryrun_hllm_1b.py / dryrun_multichip):
               per-tower size that fits one chip (default 12L/2048d ~ 0.66B
               per tower; --layers N to push). OOM is caught and reported.
 
-Usage: python tools/bench_hllm_protocol.py [corpus|freeze|pair|all] [--layers N]
+Usage: python tools/bench_hllm_protocol.py [corpus|freeze|pair|remat|freeze_bs|all] [--layers N]
 """
 
 import json
@@ -144,7 +144,7 @@ def _time_train(trainer, train, steps=12):
     return (t_long - t_short) / (steps - 4) * 1000.0
 
 
-def bench_freeze(layers):
+def bench_freeze(layers, bs=16):
     """freeze_item_llm train step: 1.1B user tower over the item table."""
     import numpy as np
 
@@ -158,16 +158,36 @@ def bench_freeze(layers):
         dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
              item_llm_init=False, user_llm_init=False, dummy_llm=False,
              freeze_item_llm=True, all_item_embeds_path=tmp_table,
-             adam_mu_dtype="bfloat16"),
+             adam_mu_dtype="bfloat16", train_batch_size=bs),
         num_items=num_items,
     )
     p_user = n_params(trainer.state.params["user_llm"])
     step_ms = _time_train(trainer, train)
+    # fwd+bwd ~ 6*P FLOPs per token over bs*(seq 10 + 1) user-tower tokens
+    tflops_s = 6.0 * p_user * bs * 11 / (step_ms / 1e3) / 1e12
     return {
-        "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs16_neg512",
+        "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs{bs}_neg512",
         "step_ms": round(step_ms, 1),
-        "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
+        "value": round(bs / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
+        "model_tflops_s": round(tflops_s, 1),
     }
+
+
+def bench_freeze_bs(layers):
+    """Batch-size saturation sweep for the freeze-mode step (VERDICT r3
+    weak #5: at the protocol bs 16 the 43 ms step feeds the 0.97B tower
+    only 160 user-sequence tokens — is it latency- or compute-bound, and
+    where does the chip saturate?)."""
+    layers = layers or 22
+    rows = []
+    for bs in (16, 64, 256, 1024):
+        try:
+            rows.append(bench_freeze(layers, bs=bs))
+        except Exception as e:  # OOM at some bs is a result, not a crash
+            rows.append({"metric": f"hllm_train_freeze_item_{layers}L_bs{bs}",
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
 
 
 def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None,
@@ -231,6 +251,9 @@ def bench_remat(layers=None, hidden=1024):
 
 
 if __name__ == "__main__":
+    from mhrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "all"
     layers = int(sys.argv[sys.argv.index("--layers") + 1]) if "--layers" in sys.argv else None
     jobs = {
@@ -238,7 +261,10 @@ if __name__ == "__main__":
         "freeze": (bench_freeze, [22, 14, 8]),
         "pair": (bench_pair, [12, 8, 5]),
         "remat": (bench_remat, [8]),
+        "freeze_bs": (bench_freeze_bs, [22]),
     }
+    if which == "all":
+        jobs.pop("freeze_bs")  # sweep is opt-in (long; run explicitly)
     for name, (fn, fallbacks) in jobs.items():
         if which not in ("all", name):
             continue

@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
+    from mhrec_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     base = dict(
         MAX_ITEM_LIST_LENGTH=50, pred_len=8, eval_pred_len=8,
         train_batch_size=64, num_negatives=8192, n_layers=16, n_heads=16,
