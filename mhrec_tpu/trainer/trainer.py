@@ -198,6 +198,7 @@ class Trainer:
             os.path.join(ckpt_dir, run_name, "ckpt")
         )
         self._ckpt_mgr = None
+        self._async_ckpt = bool(config.get("async_checkpoint", True))
         self._jit_train_step = None
         self._chunk_scorer = None
         self.extra_vars: Dict[str, Any] = {}
@@ -797,6 +798,7 @@ class Trainer:
                 (it + 1 - it_steady) * self.config["train_batch_size"]
                 / max(time.time() - t_steady, 1e-9)
             )
+        self.finalize_checkpoints()
         logger.info(
             "fit done: %d micro-steps, %.1fs, %.1f examples/s"
             " (%.1f steady-state, excluding compile/warmup)",
@@ -838,12 +840,25 @@ class Trainer:
             payload["table_m"] = self.state.table_m
             payload["table_v"] = self.state.table_v
         mgr.save(int(self.state.step), args=ocp.args.StandardSave(payload))
-        mgr.wait_until_finished()
+        # async by default: orbax copies device->host synchronously inside
+        # save() (state consistency) but commits the DISK write on a
+        # background thread, so training resumes while the bytes land
+        # (reference blocks on lite.save, trainer.py:319-340). The write is
+        # awaited at every consume point: next save (orbax-internal), any
+        # restore, end of fit, and interpreter exit (non-daemon writer).
+        if not self._async_ckpt:
+            mgr.wait_until_finished()
+
+    def finalize_checkpoints(self):
+        """Block until any in-flight async checkpoint write has committed."""
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()
 
     def load_checkpoint(self) -> bool:
         import orbax.checkpoint as ocp
 
         mgr = self._ckpt_manager()
+        self.finalize_checkpoints()
         latest = mgr.latest_step()
         if latest is None:
             return False
