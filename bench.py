@@ -223,6 +223,13 @@ def main():
             prior_switch_loss_weight=1.0, tag_version="v2",
         ), 5, 30)
 
+        # bf16 item-table storage (opt-in lever, VERDICT r3 #4): halves the
+        # step's dominant HBM object; trajectory coincidence vs the fp32
+        # table is proven by tools/traj_compare.py (BASELINE r4)
+        _row("hstu_size4_bf16_item_table", dict(
+            size4, item_table_dtype="bfloat16",
+        ), 5, 30)
+
         # merrec protocol shape (reproduce/HSTU-merrec-prior.slurm:25-60
         # minus the prior machinery): L=400, 8L/512d/8h, bs 32 — the
         # long-L shape where attn_impl auto selects the fused STU kernel
