@@ -57,7 +57,15 @@ def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def load_llama_params(path: str, config: LLMConfig, dtype=np.float32):
     """Returns a flax params dict for LlamaBackbone."""
-    sd = _load_state_dict(path)
+    return llama_params_from_state_dict(_load_state_dict(path), config, dtype)
+
+
+def llama_params_from_state_dict(sd: Dict[str, np.ndarray], config: LLMConfig,
+                                 dtype=np.float32):
+    """Map an already-loaded HF Llama-family state dict onto LlamaBackbone
+    params (shared by the dir loader above and the reference-checkpoint
+    converter, which extracts ``item_llm.*``/``user_llm.*`` sub-dicts from
+    a full-model HLLM checkpoint — reference trainer.py:851-876)."""
     h = config.num_attention_heads
     hk = config.num_key_value_heads
     D = config.hidden_size
@@ -128,7 +136,11 @@ def load_bert_params(path: str, config: LLMConfig, dtype=np.float32):
     folded into the position-embedding table (exact). Separate q/k/v
     projections are stacked into the fused DenseGeneral qkv kernel.
     """
-    sd = _load_state_dict(path)
+    return bert_params_from_state_dict(_load_state_dict(path), config, dtype)
+
+
+def bert_params_from_state_dict(sd: Dict[str, np.ndarray], config: LLMConfig,
+                                dtype=np.float32):
 
     def t(name):
         for k in (name, f"bert.{name}", f"model.{name}"):

@@ -270,7 +270,11 @@ if __name__ == "__main__":
             continue
         for n_layers in ([layers] if layers else fallbacks):
             try:
-                print(json.dumps(fn(n_layers)), flush=True)
+                out = fn(n_layers)
+                # sweep jobs (remat/freeze_bs) print each row themselves;
+                # re-printing the returned list would duplicate every row
+                if not isinstance(out, list):
+                    print(json.dumps(out), flush=True)
                 break
             except Exception as e:
                 print(json.dumps(

@@ -114,32 +114,29 @@ def _fit_rows(src: np.ndarray, like: np.ndarray, name: str) -> np.ndarray:
     raise ValueError(f"{name}: shape {src.shape} incompatible with {like.shape}")
 
 
-def convert_hstu(sd: Dict[str, np.ndarray], params, config):
-    """Map a reference HSTU state_dict onto our flax params tree.
+class _Mapper:
+    """take/put bookkeeping over one (state_dict, params-tree) pair."""
 
-    Reference attribute surface: hstu.py:380-543 (item/position embeddings,
-    ``_hstu._attention_layers.{i}`` STU blocks, optional per-layer
-    ``_rel_attn_bias``, medusa/cat/seg/aux heads, segment_emb, logit_scale).
-    Returns (new_params, used_keys, missing_targets).
-    """
-    import jax
+    def __init__(self, sd: Dict[str, np.ndarray], params):
+        import jax
 
-    params = jax.tree.map(np.asarray, params)  # mutable host copy
-    used = set()
-    missing = []
+        self.sd = sd
+        self.params = jax.tree.map(np.asarray, params)  # mutable host copy
+        self.used = set()
+        self.missing = []
 
-    def take(key, transpose=False):
-        if key not in sd:
-            missing.append(key)
+    def take(self, key, transpose=False):
+        if key not in self.sd:
+            self.missing.append(key)
             return None
-        used.add(key)
-        arr = sd[key]
+        self.used.add(key)
+        arr = self.sd[key]
         return arr.T if transpose else arr
 
-    def put(tree_path, value, like_rows=False):
+    def put(self, tree_path, value, like_rows=False):
         if value is None:
             return
-        node = params
+        node = self.params
         for k in tree_path[:-1]:
             node = node[k]
         leaf = node[tree_path[-1]]
@@ -152,33 +149,16 @@ def convert_hstu(sd: Dict[str, np.ndarray], params, config):
             )
         node[tree_path[-1]] = value.astype(leaf.dtype)
 
-    put(("item_embedding", "embedding"), take("item_embedding.weight"))
-    put(("position_embedding", "embedding"), take("position_embedding.weight"),
-        like_rows=True)
-    if "item_proj" in params:
-        put(("item_proj", "kernel"),
-            take("item_id_proj_tower.weight", transpose=True))
-    if "logit_scale" in params:
-        put(("logit_scale",), take("logit_scale"))
+    def results(self):
+        unused = sorted(set(self.sd) - self.used)
+        return self.params, sorted(self.used), self.missing, unused
 
-    n_layers = int(config["n_layers"])
-    for i in range(n_layers):
-        ref = f"_hstu._attention_layers.{i}"
-        put((f"stu_{i}", "uvqk"), take(f"{ref}._uvqk"))
-        put((f"stu_{i}", "o_proj", "kernel"),
-            take(f"{ref}._o.weight", transpose=True))
-        put((f"stu_{i}", "o_proj", "bias"), take(f"{ref}._o.bias"))
-        # reference norms are non-learnable F.layer_norm → identity affine
-        for norm in ("input_norm", "attn_norm"):
-            if norm in params.get(f"stu_{i}", {}):
-                params[f"stu_{i}"][norm]["scale"] = np.ones_like(
-                    params[f"stu_{i}"][norm]["scale"])
-                params[f"stu_{i}"][norm]["bias"] = np.zeros_like(
-                    params[f"stu_{i}"][norm]["bias"])
-        if f"rel_bias_{i}" in params:
-            put((f"rel_bias_{i}", "ts_w"), take(f"{ref}._rel_attn_bias._ts_w"))
-            put((f"rel_bias_{i}", "pos_w"),
-                take(f"{ref}._rel_attn_bias._pos_w"), like_rows=True)
+
+def _convert_medusa_heads(m: _Mapper, config):
+    """The multi-head surface shared verbatim by HSTU (hstu.py:439-544) and
+    HLLM (reference hllm.py:137-231): medusa / cat / seg heads, segment_emb,
+    aux switch classifiers. Same state_dict names on both models."""
+    params, take, put = m.params, m.take, m.put
 
     def put_resblocks(our_head, ref_head):
         j = 0
@@ -224,8 +204,166 @@ def convert_hstu(sd: Dict[str, np.ndarray], params, config):
         put((f"aux_cat_head_{c}", "bias"), take(f"aux_cat_head.{c}.bias"))
         c += 1
 
-    unused = sorted(set(sd) - used)
-    return params, sorted(used), missing, unused
+
+def convert_hstu(sd: Dict[str, np.ndarray], params, config):
+    """Map a reference HSTU state_dict onto our flax params tree.
+
+    Reference attribute surface: hstu.py:380-543 (item/position embeddings,
+    ``_hstu._attention_layers.{i}`` STU blocks, optional per-layer
+    ``_rel_attn_bias``, medusa/cat/seg/aux heads, segment_emb, logit_scale).
+    Returns (new_params, used_keys, missing_targets).
+    """
+    m = _Mapper(sd, params)
+    params, take, put = m.params, m.take, m.put
+
+    put(("item_embedding", "embedding"), take("item_embedding.weight"))
+    put(("position_embedding", "embedding"), take("position_embedding.weight"),
+        like_rows=True)
+    if "item_proj" in params:
+        put(("item_proj", "kernel"),
+            take("item_id_proj_tower.weight", transpose=True))
+    if "logit_scale" in params:
+        put(("logit_scale",), take("logit_scale"))
+
+    n_layers = int(config["n_layers"])
+    for i in range(n_layers):
+        ref = f"_hstu._attention_layers.{i}"
+        put((f"stu_{i}", "uvqk"), take(f"{ref}._uvqk"))
+        put((f"stu_{i}", "o_proj", "kernel"),
+            take(f"{ref}._o.weight", transpose=True))
+        put((f"stu_{i}", "o_proj", "bias"), take(f"{ref}._o.bias"))
+        # reference norms are non-learnable F.layer_norm → identity affine
+        for norm in ("input_norm", "attn_norm"):
+            if norm in params.get(f"stu_{i}", {}):
+                params[f"stu_{i}"][norm]["scale"] = np.ones_like(
+                    params[f"stu_{i}"][norm]["scale"])
+                params[f"stu_{i}"][norm]["bias"] = np.zeros_like(
+                    params[f"stu_{i}"][norm]["bias"])
+        if f"rel_bias_{i}" in params:
+            put((f"rel_bias_{i}", "ts_w"), take(f"{ref}._rel_attn_bias._ts_w"))
+            put((f"rel_bias_{i}", "pos_w"),
+                take(f"{ref}._rel_attn_bias._pos_w"), like_rows=True)
+
+    _convert_medusa_heads(m, config)
+    return m.results()
+
+
+def _subdict(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_hllm(sd: Dict[str, np.ndarray], params, config):
+    """Map a reference HLLM full-model state_dict (reference hllm.py:69-252:
+    ``item_llm.*`` + ``user_llm.*`` HF tower weights, ``item_emb_tokens``,
+    ``logit_scale``, and the shared medusa/aux head surface) onto our flax
+    tree. Tower weights route through the SAME mapping as the HF-dir loader
+    (models/llm/loader.py — HF-forward-parity proven), so a reference-trained
+    HLLM evaluates here via ``--val_only True``.
+    """
+    from mhrec_tpu.models.llm.config import LLMConfig
+    from mhrec_tpu.models.llm.loader import (
+        bert_params_from_state_dict, llama_params_from_state_dict,
+    )
+
+    m = _Mapper(sd, params)
+    params, take, put = m.params, m.take, m.put
+
+    def tower(name, pretrain_dir):
+        tower_sd = _subdict(sd, f"{name}.")
+        if not tower_sd:
+            m.missing.append(f"{name}.*")
+            return
+        cfg = LLMConfig.from_pretrained_dir(pretrain_dir)
+        mapper = (bert_params_from_state_dict if cfg.model_type == "bert"
+                  else llama_params_from_state_dict)
+        mapped = mapper(tower_sd, cfg)
+        _graft_tree(params[name], mapped, name)
+        m.used.update(f"{name}.{k}" for k in tower_sd)
+
+    if "item_llm" in params:
+        tower("item_llm", config["item_pretrain_dir"])
+    if "user_llm" in params:
+        tower("user_llm",
+              config["user_pretrain_dir"] or config["item_pretrain_dir"])
+    if "item_emb_tokens" in params:
+        put(("item_emb_tokens",), take("item_emb_tokens"))
+    if "logit_scale" in params:
+        put(("logit_scale",), take("logit_scale"))
+    _convert_medusa_heads(m, config)
+    return m.results()
+
+
+def _graft_tree(dst, src, name):
+    """Copy a mapped nested params dict into the destination tree in place,
+    shape-checked leaf by leaf."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            if k not in dst:
+                raise ValueError(f"{name}.{k}: no such subtree in our params")
+                _graft_tree(dst[k], v, f"{name}.{k}")
+        else:
+            leaf = dst.get(k)
+            if leaf is None:
+                raise ValueError(f"{name}.{k}: no such leaf in our params")
+            if np.shape(v) != np.shape(leaf):
+                raise ValueError(
+                    f"{name}.{k}: reference shape {np.shape(v)} != ours "
+                    f"{np.shape(leaf)} — config mismatch with the original run?"
+                )
+            dst[k] = np.asarray(v, dtype=np.asarray(leaf).dtype)
+
+
+def convert_comirec(sd: Dict[str, np.ndarray], params, config):
+    """Map a reference ComiRec/REMI state_dict (reference comirec.py:52-107 /
+    remi.py:53-106 — identical surfaces: flat position/item embeddings,
+    ``_hstu._attention_layers.{i}`` trunk, ``attention_net`` interest
+    extractor, ``item_id_proj_tower``, ``logit_scale``) onto our
+    trunk-nested flax tree (models/idnet/comirec.py `_InterestTrunk`)."""
+    m = _Mapper(sd, params)
+    params, take, put = m.params, m.take, m.put
+    trunk = params["trunk"]
+
+    put(("trunk", "item_embedding", "embedding"), take("item_embedding.weight"))
+    put(("trunk", "position_embedding", "embedding"),
+        take("position_embedding.weight"), like_rows=True)
+    if "item_id_proj_tower" in trunk:
+        put(("trunk", "item_id_proj_tower", "kernel"),
+            take("item_id_proj_tower.weight", transpose=True))
+    if "logit_scale" in params:
+        put(("logit_scale",), take("logit_scale"))
+
+    i = 0
+    while f"stu_{i}" in trunk:
+        ref = f"_hstu._attention_layers.{i}"
+        put(("trunk", f"stu_{i}", "uvqk"), take(f"{ref}._uvqk"))
+        put(("trunk", f"stu_{i}", "o_proj", "kernel"),
+            take(f"{ref}._o.weight", transpose=True))
+        put(("trunk", f"stu_{i}", "o_proj", "bias"), take(f"{ref}._o.bias"))
+        for norm in ("input_norm", "attn_norm"):
+            if norm in trunk[f"stu_{i}"]:
+                trunk[f"stu_{i}"][norm]["scale"] = np.ones_like(
+                    trunk[f"stu_{i}"][norm]["scale"])
+                trunk[f"stu_{i}"][norm]["bias"] = np.zeros_like(
+                    trunk[f"stu_{i}"][norm]["bias"])
+        i += 1
+
+    # interest extractor: nn.Sequential(Linear, Tanh, Dropout, Linear) →
+    # state_dict indices 0 (hidden, biased per attention_net_bias) and 3 (out)
+    put(("trunk", "attn_hidden", "kernel"),
+        take("attention_net.0.weight", transpose=True))
+    if "bias" in trunk["attn_hidden"]:
+        put(("trunk", "attn_hidden", "bias"), take("attention_net.0.bias"))
+    put(("trunk", "attn_out", "kernel"),
+        take("attention_net.3.weight", transpose=True))
+    return m.results()
+
+
+CONVERTERS = {
+    "HSTU": convert_hstu,
+    "HLLM": convert_hllm,
+    "ComiRec": convert_comirec,
+    "REMI": convert_comirec,
+}
 
 
 def main(argv=None):
@@ -244,11 +382,20 @@ def main(argv=None):
     from mhrec_tpu.trainer import Trainer
 
     config = Config(config_file_list=args.config_file, cli_args=extra).finalize()
-    if str(config["model"]) != "HSTU":
+    model_name = str(config["model"])
+    if model_name not in CONVERTERS:
         raise NotImplementedError(
-            f"converter currently handles HSTU checkpoints (model="
-            f"{config['model']}); HLLM towers load directly from HF "
-            f"checkpoints via item_pretrain_dir/user_pretrain_dir"
+            f"converter handles {sorted(CONVERTERS)} checkpoints "
+            f"(model={model_name}); SASRec/DualVAE/LLMIDRec reference "
+            f"checkpoints have no reproduce protocol — file an issue with "
+            f"the run config if you need one"
+        )
+    if model_name == "HLLM" and config.get("use_image"):
+        raise NotImplementedError(
+            "vision-tower (use_image) HLLM checkpoint conversion is not "
+            "wired — the Qwen2-VL visual weights live inside the reference "
+            "item_llm; convert the text-only surface or load the towers "
+            "directly from their HF dirs"
         )
 
     sd = load_reference_state_dict(args.ckpt)
@@ -258,7 +405,7 @@ def main(argv=None):
     trainer = Trainer(config, data)
     trainer.setup_model()
 
-    new_params, used, missing, unused = convert_hstu(
+    new_params, used, missing, unused = CONVERTERS[model_name](
         sd, trainer.state.params, config)
     logger.info("mapped %d reference tensors", len(used))
     if missing:
