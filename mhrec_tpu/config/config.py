@@ -175,21 +175,27 @@ class Config:
             # is the packed splash-attention tower, so the flag defaults it
             # on unless the dense path is required (images / frozen tower)
             d["packed_item_tower"] = not (
-                d.get("use_image") or d.get("freeze_item_llm")
+                d.get("use_image") or d.get("use_video")
+                or d.get("freeze_item_llm")
             )
-        for vk in ("use_video", "video_dir", "video_min_pixels",
-                   "video_max_pixels", "fps", "video_fps"):
-            if d.get(vk):
-                # video inputs (reference qwen_vl_utils.py fetch_video /
-                # smart_nframes) are deliberately out of scope: no reference
-                # protocol or dataset ever feeds video (PARITY §2.3). Fail
-                # loudly instead of silently ignoring the flag.
+        if any(d.get(k) for k in ("video_dir", "video_nframes")) \
+                and not d.get("use_video"):
+            raise ValueError(
+                "video_dir/video_nframes are set but use_video is not — "
+                "set use_video: true to enable the static-grid video item "
+                "branch (data/vision.py ItemVideoStore)"
+            )
+        if d.get("use_video"):
+            if d.get("use_image"):
+                raise ValueError("use_image and use_video are mutually "
+                                 "exclusive (one vision span per item)")
+            nf = int(d.get("video_nframes", 4) or 4)
+            if nf < 2 or nf % 2:
                 raise ValueError(
-                    f"config key '{vk}' requests video inputs, which this "
-                    f"framework does not implement (no reference protocol "
-                    f"uses them — see docs/MIGRATION.md); images are "
-                    f"supported via use_image/image_dir"
+                    f"video_nframes={nf} must be an even count >= 2 "
+                    f"(Qwen2-VL temporal patch pairs)"
                 )
+            d["video_nframes"] = nf
         if d.get("category_by") == "user":
             # user-cluster priors only make sense as an oracle over a single
             # horizon (reference trainer.py:104-105)

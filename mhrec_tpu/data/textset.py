@@ -327,9 +327,27 @@ def build_image_prefix(tokenizer, n_tokens: int) -> np.ndarray:
 
 
 def _setup_image_store(config, dataload, tokenizer):
-    """→ (ItemImageStore | None, image_prefix | None). Dynamic-resolution
-    mode returns prefix=None — per-item spans are built by ItemTextCache
-    from the store's per-item token counts."""
+    """→ (ItemImageStore | ItemVideoStore | None, image_prefix | None).
+    Dynamic-resolution image mode returns prefix=None — per-item spans are
+    built by ItemTextCache from the store's per-item token counts. Video
+    mode (``use_video``) is always static-grid: a fixed
+    ``[vision_start][pad × grid_t·gh·gw/m²][vision_end]`` span the tower
+    splices over (``<|video_pad|>`` when the tokenizer has it)."""
+    if config.get("use_video", False):
+        from mhrec_tpu.data.vision import ItemVideoStore
+
+        store = ItemVideoStore(config, dataload)
+        vs, ip, ve = image_special_ids(tokenizer)
+        tok = getattr(tokenizer, "tok", None)
+        if tok is not None:
+            try:
+                vp = tok.convert_tokens_to_ids("<|video_pad|>")
+                if isinstance(vp, int) and vp >= 0:
+                    ip = vp
+            except Exception:
+                pass
+        prefix = np.asarray([vs] + [ip] * store.prep.n_tokens + [ve], np.int32)
+        return store, prefix
     if not config.get("use_image", False):
         return None, None
     from mhrec_tpu.data.vision import ItemImageStore

@@ -822,3 +822,185 @@ class ItemImageStore:
                 if len(self._patch_cache) > self._cache_cap:
                     self._patch_cache.popitem(last=False)
         return out
+
+
+class VideoPreprocessor:
+    """Static-shape video preprocessor: every item video becomes EXACTLY
+    ``nframes`` frames at a fixed ``img_height × img_width`` resize →
+    ``[grid_t·gh·gw, 3·tps·ps²]`` Qwen2-VL patches with real temporal pairs
+    (``patchify_video`` order — pretrained patch-embed weights consume it
+    unchanged). Static shapes keep the XLA item-tower program compiled once,
+    exactly like the still-image ``ImagePreprocessor``."""
+
+    def __init__(self, img_height: int, img_width: int, nframes: int,
+                 patch_size: int = 14, temporal_patch_size: int = 2,
+                 spatial_merge_size: int = 2):
+        assert img_height % (patch_size * spatial_merge_size) == 0
+        assert img_width % (patch_size * spatial_merge_size) == 0
+        assert nframes % temporal_patch_size == 0, (
+            f"video_nframes={nframes} must be a multiple of "
+            f"temporal_patch_size={temporal_patch_size}"
+        )
+        self.img_height = img_height
+        self.img_width = img_width
+        self.nframes = nframes
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge_size = spatial_merge_size
+        self.grid_t = nframes // temporal_patch_size
+        self.grid_h = img_height // patch_size
+        self.grid_w = img_width // patch_size
+        self.n_patches = self.grid_t * self.grid_h * self.grid_w
+        self.n_tokens = self.n_patches // spatial_merge_size ** 2
+        self.patch_dim = 3 * temporal_patch_size * patch_size ** 2
+        black = np.broadcast_to(
+            np.zeros(3, np.float32)[:, None, None],
+            (3, img_height, img_width),
+        ).astype(np.float32)
+        self._black, _ = patchify_video(
+            np.broadcast_to(black[None], (nframes, 3, img_height, img_width)),
+            patch_size, temporal_patch_size, spatial_merge_size,
+        )
+
+    def _resample(self, frames):
+        """Uniformly select exactly ``nframes`` frames from a list."""
+        if len(frames) == self.nframes:
+            return list(frames)
+        idx = np.linspace(0, len(frames) - 1, self.nframes).round().astype(int)
+        return [frames[i] for i in idx]
+
+    def _exact_resize(self, frames) -> np.ndarray:
+        """frame list (paths / PIL / [C,H,W] arrays) → float32
+        [nframes, 3, img_height, img_width] in 0..255 scale, resized to the
+        EXACT static target (``fetch_video``'s smart_resize branch enforces
+        its pixel minimums, which a tiny static grid must override)."""
+        from PIL import Image
+
+        out = np.empty(
+            (self.nframes, 3, self.img_height, self.img_width), np.float32
+        )
+        for t, f in enumerate(self._resample(list(frames))):
+            if isinstance(f, str):
+                img = Image.open(f).convert("RGB")
+            elif isinstance(f, np.ndarray):
+                img = Image.fromarray(
+                    f.transpose(1, 2, 0).clip(0, 255).astype(np.uint8))
+            else:
+                img = f.convert("RGB")
+            img = img.resize(
+                (self.img_width, self.img_height), Image.Resampling.BICUBIC
+            )
+            out[t] = np.asarray(img, np.float32).transpose(2, 0, 1)
+        return out
+
+    def preprocess(self, source) -> np.ndarray:
+        """source = video file path | directory of frame images | list of
+        frames (paths/PIL) → [n_patches, patch_dim] float32."""
+        if isinstance(source, str) and os.path.isdir(source):
+            source = sorted(
+                os.path.join(source, f) for f in os.listdir(source)
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+            )
+        if isinstance(source, (list, tuple)):
+            if not source:
+                return self._black.copy()
+            frames = self._exact_resize(source)
+        else:
+            # video FILE: decode + frame-select via fetch_video (needs
+            # torchvision/decord), then resize to the exact static target
+            decoded = fetch_video(
+                {"video": source, "nframes": self.nframes},
+                image_factor=self.patch_size * self.merge_size,
+            )
+            frames = self._exact_resize(list(decoded))
+        patches, grid = patchify_video(
+            frames, self.patch_size, self.temporal_patch_size, self.merge_size
+        )
+        assert grid == (self.grid_t, self.grid_h, self.grid_w), (
+            f"video grid {grid} != static {(self.grid_t, self.grid_h, self.grid_w)}"
+        )
+        return patches
+
+
+class ItemVideoStore:
+    """item internal id → video source, static-grid preprocessing + LRU
+    (the video analogue of ``ItemImageStore``'s static mode). Sources, in
+    precedence order: a per-item ``video`` column in the item parquet
+    (path to a video file OR a directory of frame images), else
+    ``{video_dir}/{dataset}/{item_token}.mp4`` / a same-named frame
+    directory. Missing/broken videos fall back to black frames (the
+    reference's still-image fallback semantics, trainset.py:441-442)."""
+
+    dynamic = False
+
+    def __init__(self, config, dataload):
+        ps, tps, merge = resolve_patch_geometry(config)
+        self.prep = VideoPreprocessor(
+            int(config.get("img_height", 224)), int(config.get("img_width", 224)),
+            nframes=int(config.get("video_nframes", 4) or 4),
+            patch_size=ps, temporal_patch_size=tps, spatial_merge_size=merge,
+        )
+        video_dir = config.get("video_dir") or ""
+        dataset = config["dataset"]
+        self.root = os.path.join(str(video_dir), str(dataset)) if video_dir else ""
+        self.id2token = dataload.id2token["item_id"]
+        self._paths: Dict[int, Optional[str]] = {}
+        self._online_paths: Dict[int, str] = {}
+        item_text = getattr(dataload, "item_text", None)
+        if item_text is not None and "video" in getattr(item_text, "columns", ()):
+            self._online_paths = {
+                int(i): str(p)
+                for i, p in zip(
+                    item_text["int_item_id"].to_numpy(), item_text["video"]
+                )
+                if p
+            }
+        self._cache_cap = int(config.get("image_cache_items", 2048))
+        from collections import OrderedDict
+
+        self._patch_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+    def path(self, item_id: int) -> Optional[str]:
+        if item_id in self._paths:
+            return self._paths[item_id]
+        p = None
+        if item_id > 0 and item_id in self._online_paths:
+            cand = self._online_paths[item_id]
+            p = cand if os.path.exists(cand) else None
+        elif self.root and item_id > 0:
+            stem = os.path.join(self.root, str(self.id2token[item_id]))
+            for cand in (f"{stem}.mp4", f"{stem}.avi", f"{stem}.mov", stem):
+                if os.path.exists(cand):
+                    p = cand
+                    break
+        self._paths[item_id] = p
+        return p
+
+    def _load(self, iid: int) -> np.ndarray:
+        p = self.path(iid)
+        if p is None:
+            return self._black()
+        try:
+            return self.prep.preprocess(p)
+        except Exception:
+            return self._black()
+
+    def _black(self) -> np.ndarray:
+        return self.prep._black.copy()
+
+    def batch(self, item_ids) -> np.ndarray:
+        ids = [int(i) for i in item_ids]
+        out = np.empty(
+            (len(ids), self.prep.n_patches, self.prep.patch_dim), np.float32
+        )
+        for row, iid in enumerate(ids):
+            hit = self._patch_cache.get(iid)
+            if hit is None:
+                hit = self._load(iid)
+                self._patch_cache[iid] = hit
+                if len(self._patch_cache) > self._cache_cap:
+                    self._patch_cache.popitem(last=False)
+            else:
+                self._patch_cache.move_to_end(iid)
+            out[row] = hit
+        return out

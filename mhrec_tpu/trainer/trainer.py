@@ -474,7 +474,21 @@ class Trainer:
                 batch["pos_token_lens"] = jnp.full((B * (L + P),), 2, jnp.int32)
                 batch["neg_tokens"] = jnp.ones((B * n_cats * K, T), jnp.int32)
                 batch["neg_token_lens"] = jnp.full((B * n_cats * K,), 2, jnp.int32)
-                if c.get("use_image", False) and not c.get("dummy_llm", False):
+                if c.get("use_video", False) and not c.get("dummy_llm", False):
+                    from mhrec_tpu.data.vision import resolve_patch_geometry
+
+                    ps, tps, _m = resolve_patch_geometry(c)
+                    gt = max(int(c.get("video_nframes", 4) or 4) // tps, 1)
+                    gh = int(c.get("img_height", 224)) // ps
+                    gw = int(c.get("img_width", 224)) // ps
+                    pd = 3 * tps * ps * ps
+                    batch["pos_pixel_patches"] = jnp.zeros(
+                        (B * (L + P), gt * gh * gw, pd), jnp.float32
+                    )
+                    batch["neg_pixel_patches"] = jnp.zeros(
+                        (B * n_cats * K, gt * gh * gw, pd), jnp.float32
+                    )
+                elif c.get("use_image", False) and not c.get("dummy_llm", False):
                     from mhrec_tpu.data.vision import resolve_patch_geometry
 
                     ps, tps, _m = resolve_patch_geometry(c)
@@ -1016,15 +1030,26 @@ class Trainer:
         # [B, H, I] tensor, only feasible single-process on small corpora.
         need_meanrank = self.collector.register.need("rec.meanrank")
         need_score = self.collector.register.need("rec.score")
+        need_tgt = self.collector.register.need("rec.tgt_score")
         single_head = self.config["loss"] != "prior"
         stream_meanrank = need_meanrank and single_head and not need_score
-        need_full = need_score or (need_meanrank and not stream_meanrank)
+        # VALUE metrics (MAE/RMSE/LogLoss) need only the per-user TARGET
+        # scores, which the streamed machinery computes anyway (VERDICT r4
+        # #5) — any process count, host-table compatible. Multi-head target
+        # scores go through the full tensor (head-0 masks differ).
+        stream_tgt = need_tgt and single_head and not need_score
+        need_full = (need_score
+                     or (need_meanrank and not stream_meanrank)
+                     or (need_tgt and not stream_tgt))
         if need_full and self.num_processes > 1:
             raise ValueError(
-                "full-score metrics (rec.score / multi-head meanrank) are "
-                "single-process only; drop them or evaluate on one host"
+                "full-score metrics (rec.score / multi-head meanrank or "
+                "multi-head VALUE metrics) are single-process only; drop "
+                "them or evaluate on one host"
             )
         self.collector.external_meanrank = stream_meanrank
+        self.collector.external_tgt_score = stream_tgt
+        self.collector.set_logit_scale(self._eval_logit_scale())
         host_mode = self._use_host_item_table(needs_corpus, need_full)
         raw_item_table = None
         raw_host = norm_host = None
@@ -1064,12 +1089,13 @@ class Trainer:
         if host_mode:
             results = self._host_table_topk_results(
                 eval_batcher, raw_host, norm_host, item_tags, top_k,
-                stream_meanrank=stream_meanrank,
+                stream_meanrank=stream_meanrank, stream_tgt=stream_tgt,
             )
         else:
             results = self._device_topk_results(
                 eval_batcher, item_feats, raw_item_table, item_tags, top_k,
                 need_full, stream_meanrank=stream_meanrank,
+                stream_tgt=stream_tgt,
             )
         for batch, n_real, topk_vals, topk_idx, pe in results:
             if need_full:
@@ -1195,7 +1221,9 @@ class Trainer:
             for k in sorted(result.keys()):
                 v = result[k]
                 if isinstance(v, tuple):
-                    layout.append((sec, k, True))
+                    # (sum, count[, post-reduce transform]) — e.g. RMSE
+                    # reduces the squared-error sum then sqrts
+                    layout.append((sec, k, v[2] if len(v) > 2 else True))
                     flat += [float(v[0]), float(v[1])]
                 else:
                     layout.append((sec, k, False))
@@ -1212,7 +1240,10 @@ class Trainer:
             if is_tuple:
                 val, n = reduced[i], reduced[i + 1]
                 i += 2
-                out.setdefault(sec, {})[k] = round(val / max(1.0, n), dp)
+                mean = val / max(1.0, n)
+                if is_tuple == "sqrt":
+                    mean = float(np.sqrt(mean))
+                out.setdefault(sec, {})[k] = round(mean, dp)
             else:
                 out.setdefault(sec, {})[k] = round(
                     reduced[i] / max(1.0, num_total), dp
@@ -1318,7 +1349,7 @@ class Trainer:
 
     def _device_topk_results(self, eval_batcher, item_feats, raw_item_table,
                              item_tags, top_k, need_full,
-                             stream_meanrank=False):
+                             stream_meanrank=False, stream_tgt=False):
         """Per-batch predict + streamed top-k with a device-resident table.
         With ``need_full`` the full masked score tensor rides in the
         topk_vals slot (GAUC / rec.score path).
@@ -1365,12 +1396,13 @@ class Trainer:
                     yield batch, n_real, full_scores, None, pe
                 continue
             mr = None
-            if stream_meanrank:
+            if stream_meanrank or stream_tgt:
                 tgt_items_dev = shard_batch(
                     self.mesh, np.asarray(batch["item_target"], np.int32)
                 )
                 mr = self._init_meanrank_state(
-                    pe, dev, tgt_items_dev, item_feats[tgt_items_dev]
+                    pe, dev, tgt_items_dev, item_feats[tgt_items_dev],
+                    counts=stream_meanrank,
                 )
             topk_vals, topk_idx = self._stream_score_topk(
                 pe, item_feats, item_tags, dev, top_k, mr=mr
@@ -1383,7 +1415,8 @@ class Trainer:
             yield materialize(pending)
 
     def _host_table_topk_results(self, eval_batcher, raw_host, norm_host,
-                                 item_tags, top_k, stream_meanrank=False):
+                                 item_tags, top_k, stream_meanrank=False,
+                                 stream_tgt=False):
         """Corpus-scale eval with a HOST-resident item table: phase A runs
         the user tower for every eval batch (sequence embeddings gathered
         host-side), phase B streams each normalized item chunk to the device
@@ -1451,7 +1484,7 @@ class Trainer:
                         st["run_vals"], st["run_idx"], top_k,
                     )
                     mr = st.get("mr")
-                    if mr is not None:
+                    if mr is not None and mr["counts"]:
                         _, count_fn = self._get_meanrank_fns()
                         mr["g"], mr["e"], mr["fin"] = count_fn(
                             self.state.params, st["head_embs"],
@@ -1483,13 +1516,14 @@ class Trainer:
             Heff = 1 if (self.config["split_mode"] == "average" and H > 1) else H
             B_local = batch["item_seq"].shape[0]
             mr = None
-            if stream_meanrank:
+            if stream_meanrank or stream_tgt:
                 tgt_ids = np.asarray(batch["item_target"], np.int32)
                 mr = self._init_meanrank_state(
                     pe, dev, shard_batch(self.mesh, tgt_ids),
                     shard_batch(
                         self.mesh, norm_host[tgt_ids].astype(np.float32)
                     ),
+                    counts=stream_meanrank,
                 )
             states.append({
                 "mr": mr,
@@ -1565,7 +1599,7 @@ class Trainer:
                 dev["target_tags"], off, I, dev["hist_r"], dev["hist_c"],
                 run_vals, run_idx, top_k,
             )
-            if mr is not None:
+            if mr is not None and mr["counts"]:
                 _, count_fn = self._get_meanrank_fns()
                 mr["g"], mr["e"], mr["fin"] = count_fn(
                     self.state.params, pe["head_embs"], switch_pred, feats_c,
@@ -1721,14 +1755,18 @@ class Trainer:
         self._meanrank_fns = (target_score_fn, count_fn)
         return self._meanrank_fns
 
-    def _init_meanrank_state(self, pe, dev, tgt_items_dev, tgt_feats_dev):
-        """Per-batch device accumulators for the streamed mean-rank path."""
+    def _init_meanrank_state(self, pe, dev, tgt_items_dev, tgt_feats_dev,
+                             counts: bool = True):
+        """Per-batch device accumulators for the streamed mean-rank /
+        target-score path. ``counts=False`` (VALUE metrics only) skips the
+        per-chunk rank counters — only the target scores are needed."""
         target_score_fn, _ = self._get_meanrank_fns()
         B_local = local_shard(tgt_items_dev).shape[0]
         P = local_shard(tgt_items_dev).shape[1]
         zeros_bp = shard_batch(self.mesh, np.zeros((B_local, P), np.int32))
         zeros_b = shard_batch(self.mesh, np.zeros((B_local,), np.int32))
         return {
+            "counts": counts,
             "tgt_items": tgt_items_dev,
             "tgt_score": target_score_fn(
                 pe["head_embs"], tgt_feats_dev, tgt_items_dev,
@@ -1737,20 +1775,47 @@ class Trainer:
             "g": zeros_bp, "e": zeros_bp, "fin": zeros_b,
         }
 
+    def _eval_logit_scale(self) -> float:
+        """The model's NCE temperature exp(clamped logit_scale) — maps eval
+        cosine scores onto the calibrated logits the VALUE metrics sigmoid
+        (losses.py trains logits at this scale)."""
+        if self.config["fix_temp"]:
+            return float(1.0 / 0.07)
+        ls = self.state.params.get("logit_scale") if hasattr(
+            self.state.params, "get") else None
+        if ls is None:
+            return 1.0
+        return float(np.exp(np.clip(np.asarray(ls), None, np.log(100.0))))
+
     def _finalize_meanrank(self, mr, n_real: int):
         """Turn accumulated counts into per-horizon
         [pos_rank_sum, user_len, pos_len] rows (reference meanrank layout)
         and hand them to the collector. Duplicate target ids within a
-        horizon collapse (the reference's pos_matrix scatter is a set)."""
-        g = self._shard_local(mr["g"], n_real).astype(np.float64)
-        e = self._shard_local(mr["e"], n_real).astype(np.float64)
-        fin = self._shard_local(mr["fin"], n_real).astype(np.float64)
+        horizon collapse (the reference's pos_matrix scatter is a set).
+        Also hands the per-target sigmoid scores to the collector when the
+        VALUE metrics stream (rec.tgt_score)."""
         ids = self._shard_local(mr["tgt_items"], n_real)
-        rank = g + (e + 1.0) / 2.0
+        tgt_s = self._shard_local(mr["tgt_score"], n_real).astype(np.float64)
         P = ids.shape[1]
         first = np.ones(ids.shape, bool)
         for j in range(1, P):
             first[:, j] = ~(ids[:, :j] == ids[:, j : j + 1]).any(axis=1)
+
+        if self.collector.external_tgt_score:
+            scale = self.collector.logit_scale_value
+            keep = first & np.isfinite(tgt_s)
+            preds = {}
+            for p in self.metrics_pred_len_list:
+                m = keep[:, : p + 1]
+                preds[p] = 1.0 / (1.0 + np.exp(-scale * tgt_s[:, : p + 1][m]))
+            self.collector.tgt_score_collect(preds)
+
+        if not mr["counts"]:
+            return
+        g = self._shard_local(mr["g"], n_real).astype(np.float64)
+        e = self._shard_local(mr["e"], n_real).astype(np.float64)
+        fin = self._shard_local(mr["fin"], n_real).astype(np.float64)
+        rank = g + (e + 1.0) / 2.0
         rows = {}
         for p in self.metrics_pred_len_list:
             m = first[:, : p + 1]

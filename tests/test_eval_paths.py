@@ -13,7 +13,9 @@ def test_gauc_streamed_matches_full_score_path(synth_dir, tmp_path_factory):
     """Single-head GAUC streams (count-above-target per chunk, VERDICT r3 #5)
     and must match the full-[B,H,I]-tensor path on the same trained params."""
     cfg = make_config(
-        synth_dir, metrics=["Recall", "NDCG", "GAUC"], total_iters=2,
+        synth_dir,
+        metrics=["Recall", "NDCG", "GAUC", "AUC", "MAE", "RMSE", "LogLoss"],
+        total_iters=2,
         checkpoint_dir=str(tmp_path_factory.mktemp("g")),
     )
     data = InteractionData(cfg).build()
@@ -42,7 +44,7 @@ def test_gauc_streamed_matches_full_score_path(synth_dir, tmp_path_factory):
             # self-item tie can resolve either way → per-target rank noise
             # of ±1, which bounds the gauc gap at ~P/(neg·pos) per user.
             # All other metrics ride the unchanged chunked top-k path.
-            tol = 5e-4 if k == "gauc" else 2e-6
+            tol = 5e-4 if k in ("gauc", "auc") else 2e-6
             assert res_full[section][k] == pytest.approx(v, abs=tol), (
                 section, k, v, res_full[section][k]
             )
@@ -160,7 +162,8 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
         tag_version="v1",
         eval_pred_len=2, pred_len=2,
         topk=[5, 10],
-        metrics=["Recall", "NDCG", "GAUC"],  # GAUC streams in host mode too
+        # GAUC and the VALUE metrics stream in host mode too (r4 #5)
+        metrics=["Recall", "NDCG", "GAUC", "AUC", "MAE", "LogLoss"],
         total_iters=2, eval_interval=100,
         eval_item_chunk_size=64,  # force several chunks over the 300-item corpus
         checkpoint_dir=str(tmp_path_factory.mktemp("host_tbl")),
@@ -191,6 +194,6 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
             # barely-trained dummy model's scores are near-degenerate, so
             # rank counts are tie-sensitive across the two roundings (see
             # test_gauc_streamed_matches_full_score_path)
-            tol = 2e-3 if k == "gauc" else 1e-6
+            tol = 2e-3 if k in ("gauc", "auc") else 1e-6
             assert abs(v - res_host[section][k]) < tol, (section, k, v, res_host[section][k])
             assert abs(v - res_tiled[section][k]) < tol, (section, k, v, res_tiled[section][k])

@@ -469,3 +469,32 @@ def test_corpus_token_cache_roundtrip(synth_dir, tmp_path_factory, tmp_path):
 
     tb = TextSEQTrainBatcher(cfg, data)
     assert tb.text_cache._matrix is not None
+
+
+def test_alibi_checkpoint_rejected(tmp_path):
+    """Alibi positional encodings (Baichuan-13B topology, explicit alibi
+    flags) must fail loudly instead of silently getting RoPE (VERDICT r4
+    #9)."""
+    d = tmp_path / "alibi_ckpt"
+    os.makedirs(d)
+    base = dict(
+        model_type="baichuan", vocab_size=64000, hidden_size=5120,
+        intermediate_size=13696, num_hidden_layers=40,
+        num_attention_heads=40, rms_norm_eps=1e-6,
+    )
+    with open(d / "config.json", "w") as fh:
+        json.dump(base, fh)
+    with pytest.raises(NotImplementedError, match="ALIBI"):
+        LLMConfig.from_pretrained_dir(str(d))
+    # explicit flag on an otherwise-supported topology
+    with open(d / "config.json", "w") as fh:
+        json.dump(dict(base, model_type="llama", hidden_size=1024,
+                       num_hidden_layers=8, position_embedding_type="alibi"),
+                  fh)
+    with pytest.raises(NotImplementedError, match="ALIBI"):
+        LLMConfig.from_pretrained_dir(str(d))
+    # baichuan-7B (RoPE) stays supported
+    with open(d / "config.json", "w") as fh:
+        json.dump(dict(base, hidden_size=4096, num_hidden_layers=32,
+                       num_attention_heads=32), fh)
+    assert LLMConfig.from_pretrained_dir(str(d)).model_type == "baichuan"

@@ -214,7 +214,8 @@ def test_two_process_gauc_matches_composed(synth_dir, tmp_path):
     reduction exact on any process count)."""
     from mhrec_tpu.trainer import Trainer
 
-    extra = dict(loss="nce", metrics=["Recall", "NDCG", "GAUC"])
+    extra = dict(loss="nce", metrics=[
+        "Recall", "NDCG", "GAUC", "AUC", "MAE", "RMSE", "LogLoss"])
     mp_results = _spawn_workers(synth_dir, str(tmp_path), extra=extra)
 
     cfg = Config(
@@ -249,14 +250,14 @@ def test_two_process_gauc_matches_composed(synth_dir, tmp_path):
             # gauc is tie-sensitive at the score ulp level (self-item
             # equality count); everything else matches tightly
             tol = 2e-3 if k.startswith("Entropy") else (
-                5e-4 if k == "gauc" else 3e-5
+                5e-4 if k in ("gauc", "auc") else 3e-5
             )
             assert mp_metrics[section][k] == pytest.approx(v, abs=tol), (
                 section, k, v, mp_metrics[section][k]
             )
-    assert any(
-        "gauc" in m for m in (set(v) for v in result.values())
-    ), "GAUC missing from eval sections"
+    keys = set().union(*(set(v) for v in result.values()))
+    assert {"gauc", "auc", "mae", "rmse", "logloss"} <= keys, (
+        "GAUC/VALUE metrics missing from eval sections", keys)
 
 
 HLLM_OVERRIDES = dict(

@@ -949,3 +949,121 @@ def test_video_file_decode_unavailable_is_loud():
         pass
     with pytest.raises(ImportError, match="list of frame images"):
         fetch_video({"video": "/tmp/nonexistent.mp4"})
+
+
+def test_video_store_batch_matches_patchify(synth_dir, tmp_path):
+    """ItemVideoStore static batch == direct fetch_video+patchify_video on
+    the same frames; missing items get black-frame fallback patches."""
+    from PIL import Image
+
+    from mhrec_tpu.data.vision import ItemVideoStore, patchify_video
+
+    ckpt = str(tmp_path / "qwen2vl_v")
+    _write_tiny_qwen2vl_ckpt(ckpt)
+    video_dir = tmp_path / "videos"
+    ds_dir = video_dir / synth_dir["name"]
+    rng = np.random.default_rng(3)
+    frames_dir = ds_dir / "i1"
+    frames_dir.mkdir(parents=True)
+    frame_paths = []
+    for t in range(4):
+        p = frames_dir / f"f{t:02d}.png"
+        Image.fromarray(
+            rng.integers(0, 255, (20, 24, 3), np.uint8), "RGB").save(p)
+        frame_paths.append(str(p))
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"], dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"], model="HLLM",
+            item_pretrain_dir=ckpt, use_video=True, video_nframes=4,
+            video_dir=str(video_dir), img_height=16, img_width=16,
+            MAX_ITEM_LIST_LENGTH=4, MAX_TEXT_LENGTH=16,
+            tag_version="v1", eval_pred_len=2, pred_len=2,
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    store = ItemVideoStore(cfg, data)
+    # internal id of token 'i1'
+    iid = list(data.id2token["item_id"]).index("i1")
+    out = store.batch([iid, 0])  # item with frames + pad item (no video)
+    assert out.shape == (2, 2 * 4 * 4, 3 * 2 * 4 * 4)  # grid_t=2, 4x4, dim 96
+
+    frames = np.stack([
+        np.asarray(
+            Image.open(p).convert("RGB").resize(
+                (16, 16), Image.Resampling.BICUBIC), np.float32
+        ).transpose(2, 0, 1)
+        for p in frame_paths
+    ])
+    ref, grid = patchify_video(frames, patch_size=4, temporal_patch_size=2,
+                               merge_size=2)
+    assert grid == (2, 4, 4)
+    np.testing.assert_allclose(out[0], ref, atol=1e-6)
+    # pad item: black frames — every patch identical (channelwise-constant
+    # normalized black)
+    assert np.allclose(out[1], out[1][0])
+
+
+@pytest.mark.slow
+def test_hllm_use_video_end_to_end(synth_dir, tmp_path_factory, tmp_path):
+    """Full use_video run (ADVICE r4: the pipeline integration, not just
+    building blocks): tiny qwen2-vl tower with grid_t=2 temporal groups,
+    frame-directory videos for a subset of items, black fallback for the
+    rest; one fit + evaluate through the standard loop."""
+    from PIL import Image
+
+    ckpt = str(tmp_path / "qwen2vl")
+    _write_tiny_qwen2vl_ckpt(ckpt)
+    video_dir = tmp_path / "videos"
+    ds_dir = video_dir / synth_dir["name"]
+    rng = np.random.default_rng(5)
+    for i in range(0, 12):  # frame dirs for a subset of items
+        d = ds_dir / f"i{i}"
+        d.mkdir(parents=True)
+        for t in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (20, 20, 3), np.uint8), "RGB"
+            ).save(d / f"f{t:02d}.jpg")
+
+    cfg = Config(
+        config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+        config_dict=dict(
+            data_path=synth_dir["data_path"],
+            dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            model="HLLM",
+            dummy_llm=False,
+            item_pretrain_dir=ckpt,
+            user_pretrain_dir=ckpt,
+            use_video=True,
+            video_dir=str(video_dir),
+            video_nframes=4,
+            img_height=16, img_width=16,  # grid_t=2 x 4x4 -> 8 video tokens
+            MAX_ITEM_LIST_LENGTH=4,
+            MAX_TEXT_LENGTH=16,
+            train_batch_size=8,
+            eval_batch_size=8,
+            num_negatives=8,
+            tag_version="v1",
+            eval_pred_len=2, pred_len=2,
+            topk=[5, 10],
+            total_iters=2, eval_interval=100,
+            checkpoint_dir=str(tmp_path_factory.mktemp("hllm_vid")),
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    train, valid, test = build_dataloader(cfg, data)
+    b = next(iter(train.epoch_batches(0)))
+    n_pos = b["pos_tokens"].shape[0]
+    # grid_t*gh*gw = 2*4*4 = 32 patches of dim 3*2*4*4 = 96
+    assert b["pos_pixel_patches"].shape == (n_pos, 32, 96)
+    # video span: [vision_start][pad x 8][vision_end] at the head of each row
+    assert (b["pos_tokens"][:, 1:9] == b["pos_tokens"][0, 1]).all()
+    t = Trainer(cfg, data)
+    t.setup_model()
+    stats = t.fit(train, None)
+    assert stats["iters"] == 2
+    res = t.evaluate(test, load_best_model=False)
+    assert "recall@10" in res[f"pred_{cfg['eval_pred_len'] - 1}"]
