@@ -119,6 +119,8 @@ def bench_corpus(layers):
 
 
 def _time_train(trainer, train, steps=12):
+    """Median-of-reps marginal step time in ms, plus the min→max spread in
+    percent (VERDICT r4 #8). BENCH_REPS=1 for quick dev runs."""
     import jax
     import jax.numpy as jnp
     from mhrec_tpu.parallel.mesh import shard_batch
@@ -139,9 +141,18 @@ def _time_train(trainer, train, steps=12):
         batch = shard_batch(trainer.mesh, dict(one))
         trainer.state, out = trainer._jit_train_step(trainer.state, batch)
     float(checksum(trainer.state.params))
-    t_short = run(4)
-    t_long = run(steps)
-    return (t_long - t_short) / (steps - 4) * 1000.0
+    reps = max(int(os.environ.get("BENCH_REPS", 3)), 1)
+    times = []
+    for _ in range(reps):
+        t_short = run(4)
+        t_long = run(steps)
+        times.append((t_long - t_short) / (steps - 4) * 1000.0)
+    times.sort()
+    med = times[len(times) // 2] if reps % 2 else (
+        0.5 * (times[len(times) // 2 - 1] + times[len(times) // 2])
+    )
+    spread = 100.0 * (times[-1] - times[0]) / med if reps > 1 else 0.0
+    return med, spread
 
 
 def bench_freeze(layers, bs=16):
@@ -162,12 +173,12 @@ def bench_freeze(layers, bs=16):
         num_items=num_items,
     )
     p_user = n_params(trainer.state.params["user_llm"])
-    step_ms = _time_train(trainer, train)
+    step_ms, spread = _time_train(trainer, train)
     # fwd+bwd ~ 6*P FLOPs per token over bs*(seq 10 + 1) user-tower tokens
     tflops_s = 6.0 * p_user * bs * 11 / (step_ms / 1e3) / 1e12
     return {
         "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs{bs}_neg512",
-        "step_ms": round(step_ms, 1),
+        "step_ms": round(step_ms, 1), "spread_pct": round(spread, 2),
         "value": round(bs / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
         "model_tflops_s": round(tflops_s, 1),
     }
@@ -217,13 +228,22 @@ def bench_pair(layers, hidden=2048, heads=32, kv=4, intermediate=None,
         if k.endswith("packed_segment_ids"):
             occupancy = round(float((v != 0).mean()), 3)
             break
-    step_ms = _time_train(trainer, train, steps=8)
+    step_ms, spread = _time_train(trainer, train, steps=8)
+    # model flops: 6*P per packed item-tower token + 6*P_user per user token
+    p_item = (n_params(trainer.state.params.get("item_llm", {})) or 0)
+    p_user = n_params(trainer.state.params["user_llm"])
+    n_packed = 0
+    for k, v in b0.items():
+        if k.endswith("packed_segment_ids"):
+            n_packed += int((v != 0).sum())
+    flops = 6.0 * (p_item * n_packed + p_user * 16 * 11)
     return {
         "metric": f"hllm_train_pair_{layers}L{hidden}d_{p_all/1e9:.2f}B-total"
                   f"_seq10_txt256_bs16_neg512_packed{tag}",
-        "step_ms": round(step_ms, 1),
+        "step_ms": round(step_ms, 1), "spread_pct": round(spread, 2),
         "value": round(16 / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
         "packed_occupancy": occupancy,
+        "model_tflops_s": round(flops / (step_ms / 1e3) / 1e12, 1),
     }
 
 
