@@ -864,9 +864,22 @@ class Trainer:
             mgr.wait_until_finished()
 
     def finalize_checkpoints(self):
-        """Block until any in-flight async checkpoint write has committed."""
+        """Block until any in-flight async checkpoint write has committed.
+
+        Logs when it actually had to wait (ADVICE r4): with async saves on
+        by default, a crash between ``save()`` returning and the background
+        commit finishing silently loses the newest checkpoint — the logged
+        wait duration makes those exposure windows visible in run logs."""
         if self._ckpt_mgr is not None:
+            t0 = time.time()
             self._ckpt_mgr.wait_until_finished()
+            waited = time.time() - t0
+            if waited > 0.05:
+                logger.info(
+                    "waited %.2fs for an in-flight async checkpoint commit "
+                    "(the run was exposed to losing that checkpoint on a "
+                    "crash for at most this long)", waited,
+                )
 
     def load_checkpoint(self) -> bool:
         import orbax.checkpoint as ocp

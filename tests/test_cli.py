@@ -85,7 +85,15 @@ def test_enable_compilation_cache_sets_jax_config(tmp_path, monkeypatch):
 
     from mhrec_tpu.utils.misc import enable_compilation_cache
 
-    prev = jax.config.jax_compilation_cache_dir
+    # snapshot EVERY config value the helper mutates (ADVICE r4: the old
+    # try/finally restored only the cache dir, leaking the min-compile-time
+    # and min-entry-size overrides into the rest of the pytest session)
+    prev = {
+        k: getattr(jax.config, k)
+        for k in ("jax_compilation_cache_dir",
+                  "jax_persistent_cache_min_compile_time_secs",
+                  "jax_persistent_cache_min_entry_size_bytes")
+    }
     try:
         explicit = tmp_path / "explicit"
         assert enable_compilation_cache(str(explicit)) == str(explicit)
@@ -97,4 +105,5 @@ def test_enable_compilation_cache_sets_jax_config(tmp_path, monkeypatch):
         assert enable_compilation_cache() == str(via_env)
         assert jax.config.jax_compilation_cache_dir == str(via_env)
     finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+        for k, v in prev.items():
+            jax.config.update(k, v)
