@@ -889,16 +889,39 @@ class Trainer:
         latest = mgr.latest_step()
         if latest is None:
             return False
+
+        # restore against an ABSTRACT template (shape/dtype/sharding only)
+        # and free the live params + optimizer buffers first: restoring
+        # billion-parameter states against the concrete arrays transiently
+        # holds BOTH copies on device — a ~10 GB state OOMs a 16 GB chip at
+        # exactly the load-best-model step the eval path always takes
+        def abstract(x):
+            if hasattr(x, "dtype") and hasattr(x, "shape"):
+                sharding = getattr(x, "sharding", None)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            return x
+
         template = {
-            "params": self.state.params,
-            "opt_state": self.state.opt_state,
-            "step": self.state.step,
-            "rng": self.state.rng,
+            "params": jax.tree.map(abstract, self.state.params),
+            "opt_state": jax.tree.map(abstract, self.state.opt_state),
+            "step": abstract(self.state.step),
+            "rng": abstract(self.state.rng),
             "best_valid_score": np.asarray(np.nan),
         }
         if self.state.table_m is not None:
-            template["table_m"] = self.state.table_m
-            template["table_v"] = self.state.table_v
+            template["table_m"] = jax.tree.map(abstract, self.state.table_m)
+            template["table_v"] = jax.tree.map(abstract, self.state.table_v)
+        keep = dict(
+            acc_ids=self.state.acc_ids, acc_mask=self.state.acc_mask,
+            acc_g=self.state.acc_g, nan_step=self.state.nan_step,
+        )
+        for leaf in jax.tree.leaves(
+            (self.state.params, self.state.opt_state,
+             self.state.table_m, self.state.table_v)
+        ):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        self.state = None
         restored = mgr.restore(latest, args=ocp.args.StandardRestore(template))
         self.state = TrainState(
             params=restored["params"],
@@ -909,11 +932,8 @@ class Trainer:
             table_v=restored.get("table_v"),
             # accumulation buffers restart empty — checkpoints are written at
             # eval boundaries, which align with accumulation boundaries
-            acc_ids=self.state.acc_ids,
-            acc_mask=self.state.acc_mask,
-            acc_g=self.state.acc_g,
-            # a checkpoint is only ever written from a clean state
-            nan_step=self.state.nan_step,
+            # (a checkpoint is only ever written from a clean state)
+            **keep,
         )
         bvs = float(restored["best_valid_score"])
         self.best_valid_score = None if math.isnan(bvs) else bvs
