@@ -216,50 +216,53 @@ def _banded_nce(
     M = neg_embs_norm.shape[0]
     headroom = min(70.0, 86.7 - float(np.log(max(M, 1))))
 
+    # head-batched over the DISTINCT heads (r5): per slice this is the same
+    # op sequence the old per-head loop ran (batched einsum dims don't
+    # reorder each slice's reduction), but one einsum triple feeds the MXU
+    # instead of |distinct| small ones
     distinct = sorted(set(int(h) for h in head_for_pred))
-    lse_neg = {}
-    pos_band = {}
-    raw_cache = {}
-    for h in distinct:
-        out_h = heads_norm[:, h].astype(jnp.bfloat16)       # [B, L, D]
-        raw = jnp.einsum(
-            "bld,dm->blm", out_h, neg_T, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)                              # [B, L, M]
-        scaled = raw.astype(jnp.float32) * scale
-        shift = jax.lax.stop_gradient(jnp.max(scaled, axis=-1)) - headroom  # [B, L]
-        s = jnp.exp(scaled - shift[:, :, None]).astype(jnp.bfloat16)
-        kept = jnp.einsum(
-            "blm,bjm->blj", s, keep_ind, preferred_element_type=jnp.float32
-        )                                                   # [B, L, J]
-        kept_b = jnp.take_along_axis(kept, band[None], axis=2)  # [B, L, P]
-        # floor guards log(0) (all negatives masked / kept sum underflowed):
-        # lse_neg then reads shift−69, i.e. "negatives negligible", and the
-        # sigmoid upstream of it is 0 — no -inf·0 NaN in the backward pass
-        lse_neg[h] = shift[:, :, None] + jnp.log(jnp.maximum(kept_b, 1e-30))
-        if compute_topk_log and h == int(head_for_pred[0]):
-            _kept_b_h0 = kept_b
-        # positive logits, shape-adaptive (measured on v5e):
-        # * short L (L ≤ 7P): ONE [B, L, J] MXU matmul + band gather beats P
-        #   elementwise passes (2220 vs 2158 ex/s at the size4 bench shape);
-        # * long L (merrec L=400, P=1): the rectangle is L/P× the flops —
-        #   P shifted elementwise dots instead.
-        out_h32 = heads_norm[:, h]
-        if L <= 7 * P:
-            pos_full = jnp.einsum("bld,bjd->blj", out_h32, tgtJ)
-            pos_band[h] = jnp.take_along_axis(pos_full, band[None], axis=2)
-        else:
-            pos_band[h] = jnp.stack(
-                [jnp.einsum("bld,bld->bl", out_h32, tgtJ[:, p : p + L])
-                 for p in range(P)],
-                axis=-1,
-            )  # [B, L, P]
-        raw_cache[h] = raw
+    dh = np.asarray(distinct, np.int32)
+    outs = heads_norm[:, dh]                                # [B, Hd, L, D]
+    raw_all = jnp.einsum(
+        "bhld,dm->bhlm", outs.astype(jnp.bfloat16), neg_T,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)                                  # [B, Hd, L, M]
+    scaled = raw_all.astype(jnp.float32) * scale
+    shift = jax.lax.stop_gradient(jnp.max(scaled, axis=-1)) - headroom  # [B,Hd,L]
+    s = jnp.exp(scaled - shift[..., None]).astype(jnp.bfloat16)
+    kept = jnp.einsum(
+        "bhlm,bjm->bhlj", s, keep_ind, preferred_element_type=jnp.float32
+    )                                                       # [B, Hd, L, J]
+    kept_b_all = jnp.take_along_axis(kept, band[None, None], axis=3)  # [B,Hd,L,P]
+    # floor guards log(0) (all negatives masked / kept sum underflowed):
+    # lse_neg then reads shift−69, i.e. "negatives negligible", and the
+    # sigmoid upstream of it is 0 — no -inf·0 NaN in the backward pass
+    lse_neg_h = shift[..., None] + jnp.log(jnp.maximum(kept_b_all, 1e-30))
+    # positive logits, shape-adaptive (measured on v5e):
+    # * short L (L ≤ 7P): ONE [B, Hd, L, J] MXU matmul + band gather beats P
+    #   elementwise passes (2220 vs 2158 ex/s at the size4 bench shape);
+    # * long L (merrec L=400, P=1): the rectangle is L/P× the flops —
+    #   P shifted elementwise dots instead.
+    if L <= 7 * P:
+        pos_full = jnp.einsum("bhld,bjd->bhlj", outs, tgtJ)
+        pos_band_h = jnp.take_along_axis(pos_full, band[None, None], axis=3)
+    else:
+        pos_band_h = jnp.stack(
+            [jnp.einsum("bhld,bld->bhl", outs, tgtJ[:, p : p + L])
+             for p in range(P)],
+            axis=-1,
+        )  # [B, Hd, L, P]
+    slot = {h: i for i, h in enumerate(distinct)}
+    if compute_topk_log:
+        _kept_b_h0 = kept_b_all[:, slot[int(head_for_pred[0])]]
 
     mask_full = base_mask if extra_mask is None else (base_mask & extra_mask)
     m = mask_full.astype(jnp.float32)                       # [B, P, L]
     hsel = np.asarray(head_for_pred, np.int32)
-    lse_neg_all = jnp.stack([lse_neg[int(h)][:, :, p] for p, h in enumerate(hsel)], 1)
-    pos_all = jnp.stack([pos_band[int(h)][:, :, p] for p, h in enumerate(hsel)], 1)
+    lse_neg_all = jnp.stack(
+        [lse_neg_h[:, slot[int(h)], :, p] for p, h in enumerate(hsel)], 1)
+    pos_all = jnp.stack(
+        [pos_band_h[:, slot[int(h)], :, p] for p, h in enumerate(hsel)], 1)
     # [B, P, L] from here on
     lse = jnp.logaddexp(pos_all * scale, lse_neg_all)
     tok_ce = lse - pos_all * scale
@@ -269,8 +272,8 @@ def _banded_nce(
 
     log_dict: Dict[str, jnp.ndarray] = {}
     if compute_topk_log:
-        h0 = int(hsel[0])
-        raw0 = jax.lax.stop_gradient(raw_cache[h0]).astype(jnp.float32)
+        raw0 = jax.lax.stop_gradient(
+            raw_all[:, slot[int(hsel[0])]]).astype(jnp.float32)
         k0 = keep_ind[:, :L].astype(bool)                   # offset p=0 slice
         m0 = m[:, 0]
         cnt0 = jnp.clip(m0.sum(), 1.0, None)
