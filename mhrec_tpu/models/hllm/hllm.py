@@ -70,7 +70,7 @@ class HLLM(nn.Module):
     gradient_checkpointing: bool = False
     remat_policy: str = "full"  # 'full' | 'dots' (see LlamaBackbone)
     nce_impl: str = "banded"    # 'banded' | 'per_offset' (models/losses.py)
-    prior_loss_impl: str = "stacked"  # 'stacked' | 'loop' (multihead.py)
+    prior_loss_impl: str = "loop"  # 'stacked' | 'loop' (multihead.py)
     # image branch (reference hllm.py:399-464 qwen2-vl path): a vision tower
     # encodes each item's image into tokens spliced over the fixed
     # image-pad span of the item text
@@ -693,7 +693,7 @@ def hllm_from_config(config, dataload) -> HLLM:
         gradient_checkpointing=bool(config.get("gradient_checkpointing", False)),
         remat_policy=str(config.get("remat_policy") or "full"),
         nce_impl=str(config.get("nce_impl") or "banded"),
-        prior_loss_impl=str(config.get("prior_loss_impl") or "stacked"),
+        prior_loss_impl=str(config.get("prior_loss_impl") or "loop"),
         use_image=use_image,
         vision_config=vision_cfg,
         img_grid=img_grid,

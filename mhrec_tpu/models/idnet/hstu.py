@@ -244,7 +244,7 @@ class HSTU(nn.Module):
     # 'stacked' batches the additive prior loop's per-category NCE matmuls
     # into category-stacked einsums (losses.multi_horizon_nce_stacked);
     # 'loop' keeps one multi_horizon_nce call per category
-    prior_loss_impl: str = "stacked"
+    prior_loss_impl: str = "loop"
     scan_layers: bool = False  # lax.scan trunk (see ScannedSTUStack)
     # row-shard the item-embedding table over the named mesh axis (the
     # reference replicates the full 8M×D nn.Embedding per GPU, hstu.py:413 —
@@ -664,7 +664,7 @@ def hstu_from_config(config, dataload) -> HSTU:
         use_seg_embed=config.get("segment_embed", False),
         attn_impl=config.get("attn_impl", "auto"),
         nce_impl=str(config.get("nce_impl") or "banded"),
-        prior_loss_impl=str(config.get("prior_loss_impl") or "stacked"),
+        prior_loss_impl=str(config.get("prior_loss_impl") or "loop"),
         scan_layers=bool(config.get("scan_layers", False)),
         shard_items_axis="data" if config.get("shard_item_embedding", False) else None,
     )

@@ -123,15 +123,19 @@ def compute_multihead_losses(
                     c, cat_name(c),
                 )
 
-        # category-stacked path (VERDICT r4 #3): under additive interaction
-        # every category is served by exactly ONE head, so the per-category
-        # raw/false-negative/kept matmul triples collapse into 3
-        # category-batched einsums (losses.multi_horizon_nce_stacked) —
-        # measured faster on TPU than 8 separate small-matmul NCE passes
+        # category-stacked path (VERDICT r4 #3, measured-and-kept-opt-in):
+        # under additive interaction every category is served by exactly ONE
+        # head, so the per-category raw/false-negative/kept matmul triples
+        # collapse into 3 category-batched einsums
+        # (losses.multi_horizon_nce_stacked). MEASURED SLOWER at the
+        # headline prior shape on v5e (89.1 vs 86.7 ms/step — the
+        # per-category matmuls already fill the MXU, and the C-stacked
+        # intermediates scheduled worse; BASELINE r5), so the default stays
+        # 'loop'; the stacked path remains available and parity-tested
         use_stacked = (
             model.head_interaction == "additive"
             and getattr(model, "nce_impl", "banded") == "banded"
-            and getattr(model, "prior_loss_impl", "stacked") == "stacked"
+            and getattr(model, "prior_loss_impl", "loop") == "stacked"
         )
         if use_stacked:
             from mhrec_tpu.models.losses import multi_horizon_nce_stacked

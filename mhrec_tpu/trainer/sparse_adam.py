@@ -25,6 +25,16 @@ Three separate [N, D] buffers are the fast layout.
 All scatter updates use ``.at[ids].add(delta * mask)``: padding slots of the
 unique-id buffer alias row 0 with ``mask == 0``, so duplicates contribute
 zero and the update stays deterministic.
+
+Sorted/unique scatter promises (tried, measured, REVERTED, r5): padding the
+id block PAST the table (``N + arange`` — globally sorted + unique) and
+scattering with ``mode='drop', indices_are_sorted=True,
+unique_indices=True`` wins the isolated scatter at the prior-protocol row
+set (7.55 vs 8.98 ms for 77.8k ids into [200k, 1024]) but LOSES end to end:
+the size4 base step went 29.6 → 49.2 ms (the drop-mode bounds handling and
+out-of-bounds-clamping gathers poison the surrounding fusions), and the
+prior step measured flat (86.3 vs 86.7). Zero-alias padding is the fast
+layout; the experiment is recorded in BASELINE r5.
 """
 
 from __future__ import annotations
@@ -107,7 +117,7 @@ def sparse_adamw_row_update(
     return table, m, v
 
 
-def dedup_touched_rows(ids, mask, grad_rows):
+def dedup_touched_rows(ids, mask, grad_rows, num_rows=None):
     """Merge duplicate row ids (one entry per id, gradients summed).
 
     Multi-host: each host contributes its own unique-id block, and the same
@@ -116,8 +126,13 @@ def dedup_touched_rows(ids, mask, grad_rows):
     consumes the SUMMED gradient once (exactly what a dense optimizer sees
     after the cross-host grad psum). Sort the concatenated ids, segment-sum
     gradients of equal ids into the group's leading slot, and return
-    (rep_ids, rep_mask, summed_grads) shaped like the inputs — trailing
-    (duplicate) slots read id 0 / mask 0 and no-op in the scatter update.
+    (rep_ids, rep_mask, summed_grads) shaped like the inputs.
+
+    With ``num_rows``: trailing (duplicate / out-of-bounds-pad) slots are
+    re-padded ``num_rows + position`` so the output block is again globally
+    SORTED and UNIQUE (group leaders ascend; pads exceed every real id) —
+    preserving the scatter promises of ``sparse_adamw_row_update``. Without
+    it, trailing slots read id 0 / mask 0 (legacy zero-alias padding).
 
     Pure static shapes; safe under jit/GSPMD.
     """
@@ -135,4 +150,8 @@ def dedup_touched_rows(ids, mask, grad_rows):
     g_sum = _jnp.zeros_like(g_s).at[seg].add(g_s)
     m_rep = _jnp.zeros_like(m_s).at[seg].max(m_s)
     id_rep = _jnp.zeros_like(ids_s).at[seg].max(ids_s)
+    if num_rows is not None:
+        n_groups = seg[-1] + 1
+        iota = _jnp.arange(G, dtype=ids_s.dtype)
+        id_rep = _jnp.where(iota < n_groups, id_rep, num_rows + iota)
     return id_rep, m_rep, g_sum
