@@ -116,64 +116,77 @@ def ab():
     return rows
 
 
+# grouped by result SHAPE (the trace's op names are raw HLO expressions;
+# shapes identify the program region at the default PRIOR config: 200k-item
+# table, 77824-row unique-id block, [64, heads, 50, 8192] NCE tables)
 GROUPS = [
-    ("prior NCE matmuls (raw/fix/kept/pos)", re.compile(
-        r"multi_horizon_nce|_banded_nce|nce_stacked|cblm|cbjm|blm|bjm|blj",
-        re.I)),
-    ("STU trunk matmuls", re.compile(r"stu_\d+|uvqk|o_proj", re.I)),
-    ("attention", re.compile(r"attention|silu_attn|scores", re.I)),
-    ("medusa heads", re.compile(r"medusa|res_\d+|aux_cat|segment_emb", re.I)),
-    ("adam/scatter", re.compile(r"scatter|adam|sparse", re.I)),
-    ("gather/embed", re.compile(r"gather|embedding", re.I)),
+    ("full-table [200k,1024] ops (sparse-Adam scatters)",
+     re.compile(r"\[200000,1024\]")),
+    ("touched-row [77824,1024] ops (gathers + Adam row math)",
+     re.compile(r"\[77824,")),
+    ("NCE tables [.,.,50,8192] (raw/exp/kept)",
+     re.compile(r",50,8192\]")),
+    ("false-neg tables [.,57,8192]", re.compile(r",57,8192\]")),
+    ("trunk/head [.,50,1024]-ish matmul fusions",
+     re.compile(r"convolution|50,1024\]")),
+    ("scatter/gather (other)", re.compile(r"scatter|gather", re.I)),
 ]
 
 
-def _aggregate_hlo_stats(logdir):
-    """Parse the xplane dump into (group → ms) using the profile plugin."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+def _aggregate_hlo_stats(logdir, top_n=30):
+    """Parse the xplane dump directly via TF's tsl xplane proto (the
+    tensorboard-plugin-profile conversion API is broken against this TF
+    build) → per-op totals on the TPU 'XLA Ops' line, grouped + top list.
+
+    Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python in the
+    environment (the compiled protobuf rejects TF's older generated code).
+    """
+    import sys as _sys
+    from collections import defaultdict
+
+    tf_root = None
+    for p in _sys.path:
+        cand = os.path.join(p, "tensorflow")
+        if os.path.isdir(os.path.join(cand, "tsl")):
+            tf_root = cand
+            break
+    if tf_root and tf_root not in _sys.path:
+        _sys.path.insert(0, tf_root)
+    from tsl.profiler.protobuf import xplane_pb2
 
     xplanes = glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.xplane.pb"))
     if not xplanes:
         raise FileNotFoundError(f"no xplane under {logdir}")
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[0]], "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    payload = json.loads(data)
-    # hlo_stats is a GViz table: rows of columns described by cols
-    cols = [c.get("label", c.get("id", "")) for c in payload.get("cols", [])]
-    rows = payload.get("rows", [])
-
-    def col_idx(*names):
-        for n in names:
-            for i, c in enumerate(cols):
-                if n.lower() in str(c).lower():
-                    return i
-        return None
-
-    i_time = col_idx("total time (us)", "self time (us)", "time (us)")
-    i_cat = col_idx("hlo op expression", "hlo op name", "op name")
-    i_prog = col_idx("program", "source", "op text")
-    out = {}
+    xs = xplane_pb2.XSpace()
+    with open(xplanes[0], "rb") as fh:
+        xs.ParseFromString(fh.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        raise ValueError("no TPU plane in trace")
+    plane = planes[0]
+    md = plane.event_metadata
+    lines = [l for l in plane.lines if l.name == "XLA Ops"]
+    line = lines[0] if lines else max(plane.lines, key=lambda l: len(l.events))
+    agg = defaultdict(float)
+    for e in line.events:
+        agg[md[e.metadata_id].name] += e.duration_ps / 1e9  # ms
+    grouped = defaultdict(float)
     total = 0.0
-    for r in rows:
-        c = r["c"]
-        t_us = float(c[i_time]["v"] or 0) if i_time is not None else 0.0
-        name = " ".join(
-            str(c[i]["v"]) for i in (i_cat, i_prog)
-            if i is not None and c[i] and c[i]["v"]
-        )
-        total += t_us
+    for name, ms in agg.items():
+        total += ms
         for label, pat in GROUPS:
             if pat.search(name):
-                out[label] = out.get(label, 0.0) + t_us
+                grouped[label] += ms
                 break
         else:
-            out.setdefault("other", 0.0)
-            out["other"] += t_us
-    out["TOTAL"] = total
-    return {k: round(v / 1000.0, 2) for k, v in out.items()}, cols
+            grouped["other"] += ms
+    grouped["TOTAL"] = total
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:top_n]
+    return (
+        {k: round(v, 2) for k, v in grouped.items()},
+        [(round(ms, 2), name[:120]) for name, ms in top],
+    )
 
 
 def xprof():
@@ -198,8 +211,9 @@ def xprof():
                     trainer.state, batch)
             jax.block_until_ready(out["loss"])
         try:
-            table, cols = _aggregate_hlo_stats(logdir)
-            results[name] = {"per_12_steps_ms": table, "logdir": logdir}
+            grouped, top = _aggregate_hlo_stats(logdir)
+            results[name] = {"per_12_steps_ms_grouped": grouped,
+                             "top_ops_ms": top[:12], "logdir": logdir}
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}",
                              "logdir": logdir}
