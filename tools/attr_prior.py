@@ -16,7 +16,6 @@ Usage: python tools/attr_prior.py [ab|xprof|all]
 """
 
 import glob
-import gzip
 import json
 import os
 import re
