@@ -47,6 +47,14 @@ class LLMConfig:
     # Mistral sliding-window attention (reference modeling_mistral.py:752):
     # tokens attend to at most the last `sliding_window` positions. 0 = off.
     sliding_window: int = 0
+    # ALiBi positional encoding (Baichuan-13B topology): linear per-head
+    # distance penalties added to attention scores instead of RoPE
+    # (Press et al. 2022; slope formula verified against transformers'
+    # bloom ``build_alibi_tensor`` in tests/test_hf_parity.py). Beyond the
+    # reference: its vendored baichuan module is the RoPE 7B topology only.
+    # Dense padded attention only — the packed-varlen splash kernel has no
+    # bias input, so packed mode raises for alibi towers.
+    alibi: bool = False
 
     @classmethod
     def from_pretrained_dir(cls, path: str) -> "LLMConfig":
@@ -59,29 +67,37 @@ class LLMConfig:
             raw = dict(raw["text_config"])
             raw.setdefault("model_type", outer_type or "llama")
         model_type = raw.get("model_type", "llama")
-        # fail loudly on alibi positional encodings (VERDICT r4 #9): the
-        # backbone family here is RoPE-only (the reference's vendored
-        # baichuan module is likewise the RoPE 7B topology,
-        # baichuan/modeling_baichuan.py:136-269); silently substituting
-        # RoPE for an alibi checkpoint (Baichuan-13B, BLOOM, Falcon-alibi)
-        # would produce garbage embeddings
-        alibi_flag = (
+        # ALiBi positional encodings. Supported on the llama/baichuan
+        # decoder topology (Baichuan-13B: RMSNorm + W_pack GQA + SwiGLU with
+        # linear distance penalties instead of RoPE) — beyond the reference,
+        # whose vendored baichuan module is the RoPE 7B topology only
+        # (baichuan/modeling_baichuan.py:136-269). Architectures whose alibi
+        # variant is NOT llama-shaped (BLOOM's fused-GELU LayerNorm stack,
+        # Falcon's parallel attn+MLP) still fail loudly instead of silently
+        # getting a wrong backbone (VERDICT r4 #9).
+        alibi_flag = bool(
             raw.get("alibi") or raw.get("use_alibi")
             or str(raw.get("position_embedding_type", "")).lower() == "alibi"
             or str(raw.get("position_encoding", "")).lower() == "alibi"
-            or model_type in ("bloom", "baichuan_13b")
+            or model_type == "baichuan_13b"
             or (model_type == "baichuan"
                 and raw.get("hidden_size") == 5120
                 and raw.get("num_hidden_layers") == 40)
         )
-        if alibi_flag:
+        if model_type in ("bloom", "falcon", "mpt") or (
+            alibi_flag and model_type not in ("llama", "baichuan",
+                                              "baichuan_13b", "tinyllama")
+        ):
             raise NotImplementedError(
-                f"checkpoint at {path} uses ALIBI positional encoding "
-                f"(model_type={model_type!r}) — unsupported. Supported "
-                f"topologies: RoPE decoders (llama / mistral / qwen2 / "
-                f"tinyllama / baichuan-7B), bert, qwen2-vl/llava vision "
-                f"towers"
+                f"checkpoint at {path} (model_type={model_type!r}) uses an "
+                f"ALIBI architecture outside the llama topology — "
+                f"unsupported. Supported topologies: RoPE decoders (llama / "
+                f"mistral / qwen2 / tinyllama / baichuan-7B), "
+                f"alibi llama-topology decoders (baichuan-13B), bert, "
+                f"qwen2-vl/llava vision towers"
             )
+        if model_type == "baichuan_13b":
+            model_type = "baichuan"
         attention_bias = raw.get(
             "attention_bias", model_type in ("qwen2", "qwen2_vl")
         )
@@ -120,6 +136,7 @@ class LLMConfig:
             rope_beta_slow=float(rope_scaling.get("beta_slow", 1.0)),
             rope_attention_factor=rope_scaling.get("attention_factor"),
             sliding_window=int(sliding),
+            alibi=alibi_flag,
         )
 
     @classmethod

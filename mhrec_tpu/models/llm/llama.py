@@ -1,6 +1,6 @@
 """Flax decoder backbone for the Llama family (llama / TinyLlama / mistral /
-qwen2 / baichuan topology): RMSNorm → GQA attention with RoPE → SwiGLU MLP,
-pre-norm residuals, final RMSNorm.
+qwen2 / baichuan topology): RMSNorm → GQA attention with RoPE (or ALiBi for
+the Baichuan-13B variant) → SwiGLU MLP, pre-norm residuals, final RMSNorm.
 
 TPU-native counterpart of the reference's vendored+patched HF
 ``modeling_{llama,mistral,qwen2}.py`` stacks: instead of flash-attn varlen
@@ -134,6 +134,24 @@ def mrope_rotary_embedding(positions: jnp.ndarray, head_dim: int, theta: float,
     return jnp.concatenate(parts_c, -1), jnp.concatenate(parts_s, -1)
 
 
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Per-head ALiBi slopes (Press et al. 2022), the closest-power-of-two
+    interpolation transformers uses in ``build_alibi_tensor``
+    (models/bloom/modeling_bloom.py) — parity-tested against it in
+    tests/test_hf_parity.py."""
+    import math
+
+    closest = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = base ** np.arange(1, closest + 1, dtype=np.float32)
+    if closest != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        n_extra = min(closest, n_heads - closest)
+        extra = extra_base ** np.arange(1, 1 + 2 * n_extra, 2, dtype=np.float32)
+        slopes = np.concatenate([slopes, extra])
+    return slopes.astype(np.float32)
+
+
 def apply_rope(x, cos, sin):
     """x: [B, T, H, D]; rotate-half convention (HF Llama)."""
     d2 = x.shape[-1] // 2
@@ -157,7 +175,8 @@ class LlamaAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask_bias, cos, sin, segment_ids=None):
+    def __call__(self, x, mask_bias, cos, sin, segment_ids=None,
+                 alibi_bias=None):
         c = self.config
         B, T, D = x.shape
         h, hk = c.num_attention_heads, c.num_key_value_heads
@@ -175,13 +194,20 @@ class LlamaAttention(nn.Module):
         q = dense((h, dh), "q_proj")(x)
         k = dense((hk, dh), "k_proj")(x)
         v = dense((hk, dh), "v_proj")(x)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if cos is not None:  # RoPE; None ⇒ alibi (distance bias on scores)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
         if hk != h:
             rep = h // hk
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
         if segment_ids is not None:
+            if alibi_bias is not None:
+                raise NotImplementedError(
+                    "packed varlen attention has no score-bias input (the "
+                    "splash kernel takes segment ids only) — alibi towers "
+                    "must run the dense padded path (packed_varlen: false)"
+                )
             # packed varlen batch: causal-within-segment attention
             # (reference flash_attn_varlen path, flash_self_attn.py:61-130);
             # packed_window bounds the splash kernel to a causal band
@@ -209,6 +235,10 @@ class LlamaAttention(nn.Module):
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(dh)
             scores = scores.astype(jnp.float32) + mask_bias
+            if alibi_bias is not None:
+                # [H, T, T] broadcast over batch — fused into the score add,
+                # never materialized at [B, H, T, T]
+                scores = scores + alibi_bias[None]
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, T, D)
         return nn.DenseGeneral(
@@ -244,10 +274,11 @@ class LlamaLayer(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask_bias, cos, sin, segment_ids=None):
+    def __call__(self, x, mask_bias, cos, sin, segment_ids=None,
+                 alibi_bias=None):
         h = RMSNorm(self.config.rms_norm_eps, name="input_layernorm")(x)
         x = x + LlamaAttention(self.config, self.dtype, name="self_attn")(
-            h, mask_bias, cos, sin, segment_ids
+            h, mask_bias, cos, sin, segment_ids, alibi_bias
         )
         h = RMSNorm(self.config.rms_norm_eps, name="post_attention_layernorm")(x)
         return x + LlamaMLP(self.config, self.dtype, name="mlp")(h)
@@ -365,7 +396,27 @@ class LlamaBackbone(nn.Module):
             position_ids = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
 
         dh = c.hidden_size // c.num_attention_heads
-        if position_ids.ndim == 3 and c.mrope_section:
+        alibi_bias = None
+        if c.alibi and segment_ids is not None:
+            raise NotImplementedError(
+                "packed varlen attention has no score-bias input (the "
+                "splash kernel takes segment ids only) — alibi towers "
+                "must run the dense padded path (packed_varlen: false)"
+            )
+        if c.alibi:
+            # ALiBi (Baichuan-13B topology): no RoPE; per-head linear
+            # distance penalty m·(j−i) added to the scores (symmetric
+            # −m·|i−j| for bidirectional masks). Positions are row-shared —
+            # every dense call site right-pads with arange positions, so the
+            # bias is one [H, T, T] table, not [B, H, T, T].
+            cos = sin = None
+            pos = position_ids[0] if position_ids.ndim >= 2 else position_ids
+            rel = (pos[None, :] - pos[:, None]).astype(jnp.float32)  # j − i
+            if not causal:
+                rel = -jnp.abs(rel)
+            slopes = jnp.asarray(alibi_slopes(c.num_attention_heads))
+            alibi_bias = slopes[:, None, None] * rel[None]
+        elif position_ids.ndim == 3 and c.mrope_section:
             cos, sin = mrope_rotary_embedding(
                 position_ids, dh, c.rope_theta, c.mrope_section
             )
@@ -382,6 +433,6 @@ class LlamaBackbone(nn.Module):
             layer_cls = nn.remat(LlamaLayer, static_argnums=(), policy=policy)
         for i in range(c.num_hidden_layers):
             x = layer_cls(c, self.dtype, name=f"layers_{i}")(
-                x, mask_bias, cos, sin, segment_ids
+                x, mask_bias, cos, sin, segment_ids, alibi_bias
             )
         return RMSNorm(c.rms_norm_eps, name="norm")(x)

@@ -447,3 +447,89 @@ def test_qwen2vl_vision_tower_video_matches_hf():
     np.testing.assert_allclose(
         out.reshape(-1, 24), ref, rtol=3e-4, atol=3e-4
     )
+
+
+def test_alibi_slopes_match_transformers():
+    """Per-head ALiBi slopes must match transformers' closest-power-of-two
+    formula (bloom ``build_alibi_tensor``) for both power-of-two and ragged
+    head counts (40 = Baichuan-13B)."""
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from mhrec_tpu.models.llm.llama import alibi_slopes
+
+    for n_heads in (4, 8, 12, 40):
+        mask = torch.ones(1, 5)
+        alibi = build_alibi_tensor(mask, n_heads, torch.float32)
+        # alibi[h, 0, j] = slope_h * j  →  read slopes off position 1
+        ref = alibi.reshape(n_heads, 5)[:, 1].numpy()
+        np.testing.assert_allclose(alibi_slopes(n_heads), ref, rtol=1e-6)
+
+
+def test_alibi_backbone_matches_hf(tmp_path):
+    """ALiBi backbone (Baichuan-13B topology) vs HF LlamaModel with RoPE
+    neutralized (linear scaling factor 1e12 → rotation angles ~1e-11 ≈
+    identity) and the same per-head causal+padding+ALiBi bias supplied as a
+    4D additive attention mask (transformers passes 4D masks through
+    verbatim). Same weights via the standard loader path."""
+    from transformers import LlamaConfig, LlamaModel
+
+    from mhrec_tpu.models.llm.llama import alibi_slopes
+
+    heads, hidden = 4, 32
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=hidden, intermediate_size=hidden * 2,
+        num_hidden_layers=2, num_attention_heads=heads,
+        num_key_value_heads=2, rms_norm_eps=1e-5,
+        max_position_embeddings=128, attn_implementation="eager",
+        rope_scaling={"rope_type": "linear", "factor": 1e12},
+    )
+    torch.manual_seed(7)
+    hf = LlamaModel(cfg).eval()
+    d = str(tmp_path / "alibi")
+    _save_hf(hf, cfg, d, extra_cfg={"position_embedding_type": "alibi"})
+
+    lcfg = LLMConfig.from_pretrained_dir(d)
+    assert lcfg.alibi
+    params = load_llama_params(d, lcfg)
+    model = LlamaBackbone(lcfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    B, T = 3, 10
+    ids = rng.integers(1, 64, (B, T))
+    mask = np.ones((B, T), np.int64)
+    mask[1, 7:] = 0  # ragged row
+
+    # HF side: explicit [B, H, T, T] additive bias = causal+pad mask + alibi
+    neg = np.finfo(np.float32).min
+    idx = np.arange(T)
+    keep = (idx[None, :, None] >= idx[None, None, :]) & mask[:, None, :].astype(bool)
+    rel = (idx[None, :] - idx[:, None]).astype(np.float32)  # j - i
+    bias = alibi_slopes(heads)[None, :, None, None] * rel[None, None]
+    bias4 = np.where(keep[:, None], bias, neg).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(bias4),
+        ).last_hidden_state.numpy()
+
+    out = np.asarray(
+        model.apply(
+            {"params": params},
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+        )
+    )
+    kept = mask.astype(bool)
+    np.testing.assert_allclose(out[kept], ref[kept], rtol=2e-4, atol=2e-4)
+
+
+def test_alibi_packed_raises(tmp_path):
+    """The packed-varlen path has no score-bias input — an alibi tower must
+    fail loudly rather than silently drop the positional encoding."""
+    cfg = LLMConfig.tiny()
+    cfg = LLMConfig(**{**cfg.__dict__, "alibi": True})
+    model = LlamaBackbone(cfg, dtype=jnp.float32)
+    ids = jnp.ones((1, 8), jnp.int32)
+    seg = jnp.asarray([1, 1, 1, 2, 2, 2, 0, 0])
+    with pytest.raises(NotImplementedError, match="alibi"):
+        model.init(jax.random.PRNGKey(0), input_ids=ids, segment_ids=seg)

@@ -471,10 +471,10 @@ def test_corpus_token_cache_roundtrip(synth_dir, tmp_path_factory, tmp_path):
     assert tb.text_cache._matrix is not None
 
 
-def test_alibi_checkpoint_rejected(tmp_path):
-    """Alibi positional encodings (Baichuan-13B topology, explicit alibi
-    flags) must fail loudly instead of silently getting RoPE (VERDICT r4
-    #9)."""
+def test_alibi_checkpoint_loading(tmp_path):
+    """Alibi on the llama topology (Baichuan-13B) loads with ``alibi=True``;
+    non-llama alibi architectures (BLOOM) still fail loudly instead of
+    silently getting a wrong backbone (VERDICT r4 #9, upgraded in r5)."""
     d = tmp_path / "alibi_ckpt"
     os.makedirs(d)
     base = dict(
@@ -482,19 +482,25 @@ def test_alibi_checkpoint_rejected(tmp_path):
         intermediate_size=13696, num_hidden_layers=40,
         num_attention_heads=40, rms_norm_eps=1e-6,
     )
+    # Baichuan-13B shape → alibi variant, supported
     with open(d / "config.json", "w") as fh:
         json.dump(base, fh)
-    with pytest.raises(NotImplementedError, match="ALIBI"):
-        LLMConfig.from_pretrained_dir(str(d))
-    # explicit flag on an otherwise-supported topology
+    cfg = LLMConfig.from_pretrained_dir(str(d))
+    assert cfg.alibi and cfg.model_type == "baichuan"
+    # explicit flag on the llama topology → supported
     with open(d / "config.json", "w") as fh:
         json.dump(dict(base, model_type="llama", hidden_size=1024,
                        num_hidden_layers=8, position_embedding_type="alibi"),
                   fh)
+    assert LLMConfig.from_pretrained_dir(str(d)).alibi
+    # BLOOM's alibi architecture is not llama-shaped → loud failure
+    with open(d / "config.json", "w") as fh:
+        json.dump(dict(base, model_type="bloom"), fh)
     with pytest.raises(NotImplementedError, match="ALIBI"):
         LLMConfig.from_pretrained_dir(str(d))
-    # baichuan-7B (RoPE) stays supported
+    # baichuan-7B (RoPE) stays supported, no alibi
     with open(d / "config.json", "w") as fh:
         json.dump(dict(base, hidden_size=4096, num_hidden_layers=32,
                        num_attention_heads=32), fh)
-    assert LLMConfig.from_pretrained_dir(str(d)).model_type == "baichuan"
+    cfg = LLMConfig.from_pretrained_dir(str(d))
+    assert cfg.model_type == "baichuan" and not cfg.alibi
