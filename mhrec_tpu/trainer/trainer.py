@@ -1057,27 +1057,24 @@ class Trainer:
             if not self.load_checkpoint():
                 logger.warning("no checkpoint found; evaluating current params")
         needs_corpus = getattr(self.model, "needs_item_corpus_pass", False)
-        # GAUC/meanrank streams (count-above-target per chunk) for single-head
-        # models — any process count, host-table compatible. Raw-score
-        # resources (rec.score) and multi-head meanrank still need the full
-        # [B, H, I] tensor, only feasible single-process on small corpora.
+        # GAUC/meanrank and the VALUE metrics (MAE/RMSE/LogLoss) stream
+        # (count-above-target / per-target scores per chunk) for ANY head
+        # count — any process count, host-table compatible. Head-0 semantics
+        # match the full-tensor path (collector._collect_meanrank /
+        # _collect_tgt_score take scores[:, 0]); for multi-head models the
+        # per-head prior masks come from routing the batch's own targets
+        # through score_items (``target_score_mh_fn``). Only raw-score dumps
+        # (rec.score) still need the full [B, H, I] tensor, feasible
+        # single-process on small corpora.
         need_meanrank = self.collector.register.need("rec.meanrank")
         need_score = self.collector.register.need("rec.score")
         need_tgt = self.collector.register.need("rec.tgt_score")
-        single_head = self.config["loss"] != "prior"
-        stream_meanrank = need_meanrank and single_head and not need_score
-        # VALUE metrics (MAE/RMSE/LogLoss) need only the per-user TARGET
-        # scores, which the streamed machinery computes anyway (VERDICT r4
-        # #5) — any process count, host-table compatible. Multi-head target
-        # scores go through the full tensor (head-0 masks differ).
-        stream_tgt = need_tgt and single_head and not need_score
-        need_full = (need_score
-                     or (need_meanrank and not stream_meanrank)
-                     or (need_tgt and not stream_tgt))
+        stream_meanrank = need_meanrank and not need_score
+        stream_tgt = need_tgt and not need_score
+        need_full = need_score
         if need_full and self.num_processes > 1:
             raise ValueError(
-                "full-score metrics (rec.score / multi-head meanrank or "
-                "multi-head VALUE metrics) are single-process only; drop "
+                "raw-score dumps (rec.score) are single-process only; drop "
                 "them or evaluate on one host"
             )
         self.collector.external_meanrank = stream_meanrank
@@ -1433,9 +1430,12 @@ class Trainer:
                 tgt_items_dev = shard_batch(
                     self.mesh, np.asarray(batch["item_target"], np.int32)
                 )
+                tgt_tag_feats = None
+                if pe["head_embs"].shape[1] > 1 and item_tags is not None:
+                    tgt_tag_feats = item_tags[tgt_items_dev]
                 mr = self._init_meanrank_state(
                     pe, dev, tgt_items_dev, item_feats[tgt_items_dev],
-                    counts=stream_meanrank,
+                    counts=stream_meanrank, tgt_item_tags_dev=tgt_tag_feats,
                 )
             topk_vals, topk_idx = self._stream_score_topk(
                 pe, item_feats, item_tags, dev, top_k, mr=mr
@@ -1518,7 +1518,7 @@ class Trainer:
                     )
                     mr = st.get("mr")
                     if mr is not None and mr["counts"]:
-                        _, count_fn = self._get_meanrank_fns()
+                        _, _, count_fn = self._get_meanrank_fns()
                         mr["g"], mr["e"], mr["fin"] = count_fn(
                             self.state.params, st["head_embs"],
                             st["switch_pred"], feats_c, tags_c, st["tgt"],
@@ -1551,12 +1551,17 @@ class Trainer:
             mr = None
             if stream_meanrank or stream_tgt:
                 tgt_ids = np.asarray(batch["item_target"], np.int32)
+                tgt_tag_feats = None
+                if pe["head_embs"].shape[1] > 1 and item_tags is not None:
+                    tgt_tag_feats = shard_batch(
+                        self.mesh, np.asarray(item_tags)[tgt_ids]
+                    )
                 mr = self._init_meanrank_state(
                     pe, dev, shard_batch(self.mesh, tgt_ids),
                     shard_batch(
                         self.mesh, norm_host[tgt_ids].astype(np.float32)
                     ),
-                    counts=stream_meanrank,
+                    counts=stream_meanrank, tgt_item_tags_dev=tgt_tag_feats,
                 )
             states.append({
                 "mr": mr,
@@ -1633,7 +1638,7 @@ class Trainer:
                 run_vals, run_idx, top_k,
             )
             if mr is not None and mr["counts"]:
-                _, count_fn = self._get_meanrank_fns()
+                _, _, count_fn = self._get_meanrank_fns()
                 mr["g"], mr["e"], mr["fin"] = count_fn(
                     self.state.params, pe["head_embs"], switch_pred, feats_c,
                     tags_c, dev["target_tags"], off, I, dev["hist_r"],
@@ -1663,12 +1668,18 @@ class Trainer:
             scores = scores.at[hr, :, hc_safe].add(add[:, None])
         return scores
 
-    def _masked_chunk_scores_closure(self):
+    def _masked_chunk_scores_closure(self, fuse_average: bool = True):
         """Shared chunk-scoring math (score_items + pad/history masking) used
         by both the running-top-k scorer and the streamed mean-rank counter —
-        one definition so the two paths can never drift."""
+        one definition so the two paths can never drift.
+
+        ``fuse_average=False`` skips the split_mode='average' head fusion:
+        the mean-rank counter mirrors the full-tensor path, which takes RAW
+        head-0 scores (collector._collect_meanrank) — not the fused mean the
+        top-k ranking uses."""
         model = self.model
         split_mode = self.config["split_mode"]
+        do_fuse = fuse_average and split_mode == "average"
         extra_vars = self.extra_vars
 
         def masked_chunk_scores(
@@ -1679,7 +1690,7 @@ class Trainer:
                 {"params": params, **extra_vars}, head_embs, feats_c, tags_c,
                 tgt_tags, switch_pred, method="score_items",
             )  # [B, H, Ck]
-            if split_mode == "average" and scores.shape[1] > 1:
+            if do_fuse and scores.shape[1] > 1:
                 # finite-mean over heads (reference collector.py:227-230)
                 finite = jnp.isfinite(scores)
                 scores = (
@@ -1734,20 +1745,30 @@ class Trainer:
 
     # -- streamed mean-rank (GAUC without the [B, H, I] tensor) ------------
     def _get_meanrank_fns(self):
-        """jitted (target_score_fn, count_fn) pair for the streamed GAUC
-        path (VERDICT r3 #5; reference collector.py:327-344 semantics).
+        """jitted (target_score_fn, target_score_mh_fn, count_fn) triple for
+        the streamed GAUC path (VERDICT r3 #5; reference collector.py:327-344
+        semantics).
 
         The tie-averaged descending rank of target t is
         ``count(score > s_t) + (count(score == s_t) + 1) / 2`` and
         ``user_len = count(score > -inf)`` (the corpus minimum is always
         -inf: pad item 0 is masked), so all three GAUC inputs are sums of
         per-chunk counts — no full score tensor, works multi-process and in
-        host-table mode. Single-head models only (the reference's meanrank
-        collection also breaks for H > 1: its pos_matrix scatter assumes
-        [B, I] scores)."""
+        host-table mode. Head-0 scores throughout, matching the full-tensor
+        path (collector._collect_meanrank takes scores[:, 0]; the
+        reference's own meanrank collection assumes [B, I] scores). For
+        multi-head models the target scores must carry score_items' per-head
+        prior/switch masks, so ``target_score_mh_fn`` scores the batch's own
+        targets as a pseudo-chunk through score_items itself."""
         if getattr(self, "_meanrank_fns", None) is not None:
             return self._meanrank_fns
-        masked_chunk_scores = self._masked_chunk_scores_closure()
+        # fuse_average=False: the counter mirrors the full path's RAW head-0
+        # scores, not the fused mean the top-k ranking uses
+        masked_chunk_scores = self._masked_chunk_scores_closure(
+            fuse_average=False
+        )
+        model = self.model
+        extra_vars = self.extra_vars
 
         @jax.jit
         def target_score_fn(head_embs, tgt_feats, tgt_items, hist_r, hist_c):
@@ -1762,6 +1783,29 @@ class Trainer:
             return jnp.where(hit, -jnp.inf, s)
 
         @jax.jit
+        def target_score_mh_fn(params, head_embs, switch_pred, tgt_feats,
+                               tgt_item_tags, tgt_tags, tgt_items,
+                               hist_r, hist_c):
+            # Multi-head: head-0 target scores WITH score_items' per-head
+            # masks (prior_given_at_test / item-tag / switch), obtained by
+            # scoring the batch's B·P target items as one pseudo-chunk.
+            B, P, D = tgt_feats.shape
+            feats_c = tgt_feats.reshape(B * P, D)
+            tags_c = (tgt_item_tags.reshape(B * P, -1)
+                      if tgt_item_tags is not None else None)
+            scores = model.apply(
+                {"params": params, **extra_vars}, head_embs, feats_c, tags_c,
+                tgt_tags, switch_pred, method="score_items",
+            )[:, 0]  # [B, B·P] head-0 (full-tensor-path parity)
+            cols = jnp.arange(B)[:, None] * P + jnp.arange(P)[None, :]
+            s = jnp.take_along_axis(scores, cols, axis=1)  # own targets
+            s = jnp.where(tgt_items == 0, -jnp.inf, s)  # pad item mask
+            ok = hist_c >= 0
+            eq = (tgt_items[hist_r] == hist_c[:, None]) & ok[:, None]
+            hit = jnp.zeros(s.shape, bool).at[hist_r].max(eq)
+            return jnp.where(hit, -jnp.inf, s)
+
+        @jax.jit
         def count_fn(
             params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
             off, item_num, hist_r, hist_c, tgt_score, g_cnt, e_cnt, fin_cnt,
@@ -1769,7 +1813,7 @@ class Trainer:
             scores = masked_chunk_scores(
                 params, head_embs, switch_pred, feats_c, tags_c, tgt_tags,
                 off, item_num, hist_r, hist_c,
-            )[:, 0]  # [B, Ck] — single-head
+            )[:, 0]  # [B, Ck] — head-0 (any H)
             Ck = scores.shape[-1]
             gid = off + jnp.arange(Ck)
             valid = gid < item_num  # excludes the static-shape tail padding
@@ -1785,15 +1829,28 @@ class Trainer:
             e_cnt = e_cnt + jnp.stack(e_new, 1).astype(jnp.int32)
             return g_cnt, e_cnt, fin_cnt
 
-        self._meanrank_fns = (target_score_fn, count_fn)
+        self._meanrank_fns = (target_score_fn, target_score_mh_fn, count_fn)
         return self._meanrank_fns
 
     def _init_meanrank_state(self, pe, dev, tgt_items_dev, tgt_feats_dev,
-                             counts: bool = True):
+                             counts: bool = True, tgt_item_tags_dev=None):
         """Per-batch device accumulators for the streamed mean-rank /
         target-score path. ``counts=False`` (VALUE metrics only) skips the
-        per-chunk rank counters — only the target scores are needed."""
-        target_score_fn, _ = self._get_meanrank_fns()
+        per-chunk rank counters — only the target scores are needed.
+        Multi-head models route the targets through score_items (with the
+        targets' item tags) so head-0 carries the full mask semantics."""
+        target_score_fn, target_score_mh_fn, _ = self._get_meanrank_fns()
+        if pe["head_embs"].shape[1] == 1:
+            tgt_score = target_score_fn(
+                pe["head_embs"], tgt_feats_dev, tgt_items_dev,
+                dev["hist_r"], dev["hist_c"],
+            )
+        else:
+            tgt_score = target_score_mh_fn(
+                self.state.params, pe["head_embs"], pe.get("switch_pred"),
+                tgt_feats_dev, tgt_item_tags_dev, dev["target_tags"],
+                tgt_items_dev, dev["hist_r"], dev["hist_c"],
+            )
         B_local = local_shard(tgt_items_dev).shape[0]
         P = local_shard(tgt_items_dev).shape[1]
         zeros_bp = shard_batch(self.mesh, np.zeros((B_local, P), np.int32))
@@ -1801,10 +1858,7 @@ class Trainer:
         return {
             "counts": counts,
             "tgt_items": tgt_items_dev,
-            "tgt_score": target_score_fn(
-                pe["head_embs"], tgt_feats_dev, tgt_items_dev,
-                dev["hist_r"], dev["hist_c"],
-            ),
+            "tgt_score": tgt_score,
             "g": zeros_bp, "e": zeros_bp, "fin": zeros_b,
         }
 

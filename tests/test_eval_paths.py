@@ -197,3 +197,101 @@ def test_host_item_table_matches_device_path(synth_dir, tmp_path_factory):
             tol = 2e-3 if k in ("gauc", "auc") else 1e-6
             assert abs(v - res_host[section][k]) < tol, (section, k, v, res_host[section][k])
             assert abs(v - res_tiled[section][k]) < tol, (section, k, v, res_tiled[section][k])
+
+
+@pytest.mark.parametrize("split_mode", ["combine", "average"])
+def test_multihead_gauc_value_streamed_matches_full(
+    synth_dir, tmp_path_factory, split_mode
+):
+    """Multi-head (prior) GAUC/AUC and VALUE metrics stream too (r5: head-0
+    target scores routed through score_items carry the per-head prior
+    masks), and must match the full-[B,H,I]-tensor path on the same params.
+    'average' additionally checks the counter uses RAW head-0 scores, not
+    the fused mean the top-k ranking uses."""
+    cfg = make_config(
+        synth_dir, loss="prior", eval_num_cats=4, num_prior_head=4,
+        medusa_num_layers=1, pred_len=4, split_mode=split_mode,
+        metrics=["Recall", "NDCG", "GAUC", "AUC", "MAE", "RMSE", "LogLoss"],
+        total_iters=2,
+        checkpoint_dir=str(tmp_path_factory.mktemp("mhg")),
+    )
+    data = InteractionData(cfg).build()
+    train, _, test = build_dataloader(cfg, data)
+    t = Trainer(cfg, data)
+    t.setup_model()
+    t.fit(train, None)
+    res_stream = t.evaluate(test, load_best_model=False)
+    last = res_stream[f"pred_{cfg['eval_pred_len'] - 1}"]
+    # head-0 semantics can rank category-masked (-inf) targets below
+    # user_len, so multi-head GAUC may go negative — in the full-tensor
+    # path too; the contract under test is stream == full
+    assert "gauc" in last and last["gauc"] <= 1.0
+
+    # force the legacy full-score path by pretending rec.score is needed
+    orig_need = t.collector.register.need
+    t.collector.register.need = (
+        lambda k: True if k == "rec.score" else orig_need(k)
+    )
+    try:
+        res_full = t.evaluate(test, load_best_model=False)
+    finally:
+        t.collector.register.need = orig_need
+    for section in res_stream:
+        for k, v in res_stream[section].items():
+            # rank-count metrics tolerate the chunk-vs-full matmul ulp ties
+            # (see test_gauc_streamed_matches_full_score_path)
+            tol = 5e-4 if k in ("gauc", "auc") else 2e-6
+            assert res_full[section][k] == pytest.approx(v, abs=tol), (
+                section, k, v, res_full[section][k]
+            )
+
+
+@pytest.mark.slow  # heavy e2e, like the single-head host-table parity test
+def test_host_table_multihead_gauc_matches_device(synth_dir, tmp_path_factory):
+    """Host-resident item table with a MULTI-HEAD model (the
+    HLLM-EBNerd-prior shape): streamed GAUC/AUC + VALUE metrics must match
+    the device-table path (r5: target tags flow into the streamed
+    target-score fn in host mode too)."""
+    from mhrec_tpu.config import Config
+
+    base = dict(
+        data_path=synth_dir["data_path"],
+        dataset=synth_dir["name"],
+        text_path=synth_dir["text_path"],
+        model="HLLM", dummy_llm=True,
+        dummy_vocab_size=128, dummy_hidden_size=32,
+        MAX_ITEM_LIST_LENGTH=6, MAX_TEXT_LENGTH=12,
+        train_batch_size=8, eval_batch_size=16, num_negatives=16,
+        tag_version="v1",
+        loss="prior", eval_num_cats=4, num_prior_head=4,
+        medusa_num_layers=1,
+        eval_pred_len=2, pred_len=2, topk=[5, 10],
+        metrics=["Recall", "NDCG", "GAUC", "AUC", "MAE", "LogLoss"],
+        total_iters=2, eval_interval=100,
+        eval_item_chunk_size=64,
+        checkpoint_dir=str(tmp_path_factory.mktemp("host_mh")),
+    )
+
+    def run(**over):
+        cfg = Config(
+            config_file_list=["overall/LLM.yaml", "HLLM/HLLM.yaml"],
+            config_dict={**base, **over},
+        ).finalize()
+        data = InteractionData(cfg).build()
+        train, _, test = build_dataloader(cfg, data)
+        t = Trainer(cfg, data)
+        t.setup_model()
+        t.fit(train, None)
+        return t.evaluate(test, load_best_model=False)
+
+    res_dev = run(host_item_table=False)
+    res_host = run(host_item_table=True)
+    assert res_dev.keys() == res_host.keys()
+    keys = set().union(*(set(v) for v in res_dev.values()))
+    assert {"gauc", "auc", "mae", "logloss"} <= keys, keys
+    for section in res_dev:
+        for k, v in res_dev[section].items():
+            tol = 2e-3 if k in ("gauc", "auc") else 1e-6
+            assert abs(v - res_host[section][k]) < tol, (
+                section, k, v, res_host[section][k]
+            )

@@ -260,6 +260,59 @@ def test_two_process_gauc_matches_composed(synth_dir, tmp_path):
         "GAUC/VALUE metrics missing from eval sections", keys)
 
 
+@pytest.mark.slow
+def test_two_process_multihead_gauc_matches_composed(synth_dir, tmp_path):
+    """Multi-head (prior) streamed GAUC/AUC + VALUE metrics under 2 true
+    processes must equal the composed single-process values (r5: head-0
+    target scores routed through score_items removed the multi-head
+    single-process restriction). BASE_OVERRIDES is already the prior
+    config (4 prior heads + switch), so no loss override here."""
+    from mhrec_tpu.trainer import Trainer
+
+    extra = dict(metrics=[
+        "Recall", "NDCG", "GAUC", "AUC", "MAE", "RMSE", "LogLoss"])
+    mp_results = _spawn_workers(synth_dir, str(tmp_path), extra=extra)
+
+    cfg = Config(
+        config_file_list=[
+            "IDNet/hstu-size1.yaml", "overall/ID.yaml", "IDNet/hstu.yaml",
+        ],
+        config_dict=dict(
+            BASE_OVERRIDES,
+            **extra,
+            data_path=synth_dir["data_path"], dataset=synth_dir["name"],
+            text_path=synth_dir["text_path"],
+            checkpoint_dir=str(tmp_path / "ref_ckpt_mh_gauc"),
+            sparse_adam_global_dedup=True,
+        ),
+    ).finalize()
+    data = InteractionData(cfg).build()
+    trainer = Trainer(cfg, data)
+    import jax
+
+    from mhrec_tpu.parallel.mesh import make_mesh
+
+    trainer.mesh = make_mesh(jax.devices()[: N_PROC * DEV_PER_PROC])
+    trainer.setup_model()
+    trainer.fit(ComposedBatcher(cfg, data), None)
+
+    result = trainer.evaluate(
+        SeqEvalBatcher(cfg, data, phase="test"), load_best_model=False
+    )
+    mp_metrics = mp_results[0]["result"]
+    for section, metrics in result.items():
+        for k, v in metrics.items():
+            tol = 2e-3 if k.startswith("Entropy") else (
+                5e-4 if k in ("gauc", "auc") else 3e-5
+            )
+            assert mp_metrics[section][k] == pytest.approx(v, abs=tol), (
+                section, k, v, mp_metrics[section][k]
+            )
+    keys = set().union(*(set(v) for v in result.values()))
+    assert {"gauc", "auc", "mae", "rmse", "logloss"} <= keys, (
+        "GAUC/VALUE metrics missing from eval sections", keys)
+
+
 HLLM_OVERRIDES = dict(
     model="HLLM",
     dummy_llm=True,
