@@ -268,6 +268,21 @@ def main():
             suite["hllm_train_freeze_item"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]
             }
+        # tuned freeze-mode config (BASELINE r5 ν-bf16 sweep): bf16 ν Adam
+        # halves the dominant per-step state-traffic term AND frees the
+        # capacity that capped the batch at 24 — bs 128 measures ~4.3× the
+        # protocol-default row on one v5e
+        try:
+            from bench_hllm_protocol import bench_freeze
+
+            row = bench_freeze(22, bs=128,
+                               extra={"adam_nu_dtype": "bfloat16"},
+                               tag="_nu-bf16_tuned")
+            suite[row.pop("metric")] = row
+        except Exception as e:
+            suite["hllm_train_freeze_item_tuned"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]
+            }
         # the hardest HLLM shape (VERDICT r4 #7): full two-tower packed pair
         # at text 256 — the largest pair that fits one chip (8L/1024d
         # towers; remat 'full' is the only policy that compiles here,

@@ -17,7 +17,7 @@ by tools/dryrun_hllm_1b.py / dryrun_multichip):
               per-tower size that fits one chip (default 12L/2048d ~ 0.66B
               per tower; --layers N to push). OOM is caught and reported.
 
-Usage: python tools/bench_hllm_protocol.py [corpus|freeze|pair|remat|freeze_bs|all] [--layers N]
+Usage: python tools/bench_hllm_protocol.py [corpus|freeze|pair|remat|freeze_bs|freeze_nu|all] [--layers N]
 """
 
 import json
@@ -155,7 +155,7 @@ def _time_train(trainer, train, steps=12):
     return med, spread
 
 
-def bench_freeze(layers, bs=16):
+def bench_freeze(layers, bs=16, extra=None, tag=""):
     """freeze_item_llm train step: 1.1B user tower over the item table."""
     import numpy as np
 
@@ -165,19 +165,18 @@ def bench_freeze(layers, bs=16):
     tmp_table = os.path.join(tempfile.mkdtemp(), "table.npy")
     np.save(tmp_table, np.random.default_rng(0)
             .normal(size=(num_items + 1, 2048)).astype(np.float32))
-    config, data, train, trainer = build(
-        dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
-             item_llm_init=False, user_llm_init=False, dummy_llm=False,
-             freeze_item_llm=True, all_item_embeds_path=tmp_table,
-             adam_mu_dtype="bfloat16", train_batch_size=bs),
-        num_items=num_items,
-    )
+    over = dict(item_pretrain_dir=t_dir, user_pretrain_dir=t_dir,
+                item_llm_init=False, user_llm_init=False, dummy_llm=False,
+                freeze_item_llm=True, all_item_embeds_path=tmp_table,
+                adam_mu_dtype="bfloat16", train_batch_size=bs)
+    over.update(extra or {})
+    config, data, train, trainer = build(over, num_items=num_items)
     p_user = n_params(trainer.state.params["user_llm"])
     step_ms, spread = _time_train(trainer, train)
     # fwd+bwd ~ 6*P FLOPs per token over bs*(seq 10 + 1) user-tower tokens
     tflops_s = 6.0 * p_user * bs * 11 / (step_ms / 1e3) / 1e12
     return {
-        "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs{bs}_neg512",
+        "metric": f"hllm_train_freeze_item_{layers}L2048d_{p_user/1e9:.2f}B-user_seq10_bs{bs}_neg512{tag}",
         "step_ms": round(step_ms, 1), "spread_pct": round(spread, 2),
         "value": round(bs / (step_ms / 1000.0), 2), "unit": "examples/s/chip",
         "model_tflops_s": round(tflops_s, 1),
@@ -196,6 +195,25 @@ def bench_freeze_bs(layers):
             rows.append(bench_freeze(layers, bs=bs))
         except Exception as e:  # OOM at some bs is a result, not a crash
             rows.append({"metric": f"hllm_train_freeze_item_{layers}L_bs{bs}",
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def bench_freeze_nu(layers):
+    """Freeze-mode sweep with ``adam_nu_dtype: bfloat16`` (the lever the
+    round-5 saturation sweep named: the fp32 ν buffer is both the largest
+    per-step HBM traffic term — read+write ≈ 8 GB of the ~20 GB — and
+    ~3.9 GB of capacity, which is what caps the batch below 32)."""
+    layers = layers or 22
+    rows = []
+    for bs in (16, 24, 32, 48, 64):
+        try:
+            rows.append(bench_freeze(layers, bs=bs,
+                                     extra={"adam_nu_dtype": "bfloat16"},
+                                     tag="_nu-bf16"))
+        except Exception as e:  # OOM at some bs is a result, not a crash
+            rows.append({"metric": f"hllm_train_freeze_item_{layers}L_bs{bs}_nu-bf16",
                          "error": f"{type(e).__name__}: {str(e)[:200]}"})
         print(json.dumps(rows[-1]), flush=True)
     return rows
@@ -282,9 +300,11 @@ if __name__ == "__main__":
         "pair": (bench_pair, [12, 8, 5]),
         "remat": (bench_remat, [8]),
         "freeze_bs": (bench_freeze_bs, [22]),
+        "freeze_nu": (bench_freeze_nu, [22]),
     }
     if which == "all":
-        jobs.pop("freeze_bs")  # sweep is opt-in (long; run explicitly)
+        jobs.pop("freeze_bs")  # sweeps are opt-in (long; run explicitly)
+        jobs.pop("freeze_nu")
     for name, (fn, fallbacks) in jobs.items():
         if which not in ("all", name):
             continue
