@@ -554,6 +554,14 @@ class Trainer:
                 SparseAdamConfig, dedup_touched_rows, sparse_adamw_row_update,
             )
 
+            if str(self.config.get("sparse_adam_impl") or "xla") == "pallas":
+                # fused gather→AdamW→scatter kernel (ops/pallas/row_adam_tpu):
+                # measured AT the XLA scatter formulation's per-descriptor
+                # floor on v5e (BASELINE r5) — ships opt-in
+                from mhrec_tpu.ops.pallas.row_adam_tpu import (
+                    sparse_adamw_row_update_pallas as sparse_adamw_row_update,
+                )
+
             sa_cfg = SparseAdamConfig(weight_decay=self.weight_decay)
             schedule = self.schedule
             use_dedup = self.sparse_dedup
