@@ -212,6 +212,15 @@ def main():
     if os.environ.get("BENCH_SUITE", "1") != "0" and not os.environ.get("BENCH_SMALL"):
         suite = {}
 
+        def _release():
+            # the 1B-tower rows need ~14 GB: drop every buffer the earlier
+            # rows' trainers / jit caches still pin before allocating
+            import gc
+
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+
         def _row(name, overrides, n_s, n_l):
             try:
                 ex_s, ms, tf, mf, sp = _measure_hstu(overrides, n_s, n_l)
@@ -257,6 +266,7 @@ def main():
             loss="nce", total_iters=100, seed=2020,
             sparse_item_adam=True, _num_items=100_000,
         ), 5, 30)
+        _release()
         try:
             sys.path.insert(0, os.path.join(os.path.dirname(
                 os.path.abspath(__file__)), "tools"))
@@ -272,6 +282,7 @@ def main():
         # halves the dominant per-step state-traffic term AND frees the
         # capacity that capped the batch at 24 — bs 128 measures ~4.3× the
         # protocol-default row on one v5e
+        _release()
         try:
             from bench_hllm_protocol import bench_freeze
 
@@ -287,6 +298,7 @@ def main():
         # at text 256 — the largest pair that fits one chip (8L/1024d
         # towers; remat 'full' is the only policy that compiles here,
         # BASELINE r5). Fixed dataset dir so reruns hit the disk token cache.
+        _release()
         try:
             from bench_hllm_protocol import bench_pair
 
